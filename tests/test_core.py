@@ -1,0 +1,122 @@
+"""Core geometry / fixed-point / config tests.
+
+Models the reference's test/util.cpp and test/params_{a,b,c} coverage.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from warpsense_tpu.core import geometry as geo
+from warpsense_tpu.core.config import Params, MapParams
+from warpsense_tpu.core.consts import MATRIX_RESOLUTION, WEIGHT_RESOLUTION
+
+
+def test_to_int_mat_identity():
+    m = geo.to_int_mat(jnp.eye(4))
+    assert m[0, 0] == MATRIX_RESOLUTION
+    assert m[0, 1] == 0
+
+
+def test_transform_point_fixed_roundtrip():
+    rng = np.random.default_rng(0)
+    # random small rotation + translation
+    axis_angle = jnp.asarray(rng.normal(size=3) * 0.3)
+    R = geo.rodrigues(axis_angle)
+    t = jnp.asarray(rng.integers(-5000, 5000, size=3).astype(np.float64))
+    pose = geo.pose_matrix(R, t)
+    int_mat = geo.to_int_mat(pose)
+    pts = jnp.asarray(rng.integers(-20000, 20000, size=(100, 3)), dtype=jnp.int32)
+    out = geo.transform_point_fixed(pts, int_mat)
+    expected = (np.asarray(pts) @ np.asarray(R).T + np.asarray(t))
+    # fixed-point truncation error is bounded by ~|p|/MR * few bits + 1
+    assert np.max(np.abs(np.asarray(out) - expected)) < 4.0
+
+
+def test_div_trunc_matches_c():
+    a = jnp.asarray([7, -7, 7, -7, 1, -1], dtype=jnp.int32)
+    b = jnp.asarray([2, 2, -2, -2, 3, 3], dtype=jnp.int32)
+    out = np.asarray(geo.div_trunc(a, b))
+    assert out.tolist() == [3, -3, -3, 3, 0, 0]
+
+
+def test_xi_to_transform_pure_translation():
+    xi = jnp.asarray([0.0, 0.0, 0.0, 1.0, 2.0, 3.0])
+    center = jnp.zeros(3, dtype=jnp.int32)
+    T = np.asarray(geo.xi_to_transform(xi, center))
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(T[:3, 3], [1, 2, 3], atol=1e-6)
+
+
+def test_xi_to_transform_center_compensation():
+    # rotating about a center must keep that center fixed
+    xi = jnp.asarray([0.0, 0.0, 0.5, 0.0, 0.0, 0.0])
+    center = jnp.asarray([1000, 500, 0], dtype=jnp.int32)
+    T = np.asarray(geo.xi_to_transform(xi, center))
+    c = np.array([1000.0, 500.0, 0.0, 1.0])
+    np.testing.assert_allclose(T @ c, c, atol=1e-3)
+
+
+def test_se3_exp_small_angle():
+    q, t = geo.se3_exp(jnp.asarray([1e-12, 0, 0, 1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(np.asarray(q), [0, 0, 0, 1], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(t), [1, 2, 3], atol=1e-9)
+
+
+def test_se3_exp_matches_rodrigues():
+    xi = jnp.asarray([0.1, -0.2, 0.3, 0.5, 0.0, -0.5])
+    q, _ = geo.se3_exp(xi)
+    R_quat = np.asarray(geo.quat_to_mat(q))
+    R_rod = np.asarray(geo.rodrigues(xi[:3]))
+    np.testing.assert_allclose(R_quat, R_rod, atol=2e-4)
+
+
+def test_quat_roundtrip():
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        aa = jnp.asarray(rng.normal(size=3))
+        R = geo.rodrigues(aa)
+        q = geo.mat_to_quat(R)
+        R2 = geo.quat_to_mat(q)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=1e-5)
+        v = jnp.asarray(rng.normal(size=(4, 3)))
+        np.testing.assert_allclose(np.asarray(geo.quat_rotate(q, v)),
+                                   np.asarray(v @ R.T), atol=1e-5)
+
+
+# ------------------------------------------------------------------- config
+
+def test_map_params_derivation():
+    # parity: include/params/map_params.h:93-107 + reference params.yaml
+    m = MapParams(max_distance=1.0, resolution=64, size_x=40, size_y=40,
+                  size_z=25, max_weight=10)
+    assert m.tau == 1000
+    assert m.max_weight_scaled == 10 * WEIGHT_RESOLUTION == 640
+    assert m.size_voxels == (625, 625, 390)
+
+
+def test_params_from_dict_defaults():
+    p = Params.from_dict({})
+    assert p.lidar.channels == 128
+    assert p.registration.max_iterations == 200
+    assert p.map.resolution == 64
+
+
+def test_params_yaml_layering(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text(
+        "map:\n  resolution: 64\n  max_distance: 1.0\n  size:\n    x: 40\n    y: 40\n    z: 25\n"
+        "floam:\n  enrich: 4\n")
+    override = tmp_path / "dataset.yaml"
+    override.write_text("map:\n  size:\n    z: 15\nfloam:\n  enrich: 7\n")
+    p = Params.from_yaml(base, override)
+    assert p.map.size_voxels == (625, 625, 234)
+    assert p.floam.enrich == 7
+    assert p.map.tau == 1000
+
+
+def test_identifier_format():
+    m = MapParams(comment="test", max_distance=1.0, update_distance=0.25,
+                  resolution=64, size_x=40, size_y=40, size_z=25, max_weight=10)
+    ident = m.identifier()
+    assert "res-64" in ident and "upd_d-0dot25" in ident and "max_d-1dot00" in ident
+    assert "map-625x625x390" in ident

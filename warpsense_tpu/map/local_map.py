@@ -1,0 +1,198 @@
+"""Ring-buffer local TSDF map as a functional state.
+
+TPU-native re-design of the reference's ``HDF5LocalMap`` / ``cuda::DeviceMap``
+pair (include/map/hdf5_local_map.h, include/warpsense/cuda/device_map.h):
+
+* the dense window is two int16 arrays (value, weight) of shape (X, Y, Z) —
+  sizes forced odd like the reference (src/map/hdf5_local_map.cpp:6-20);
+* ring indexing ``array = (global - pos + offset) mod size`` is a pure
+  function (equivalent to the reference's triple ``overflow()`` wrap,
+  device_map.h:94-101 — proven equal in tests/test_map.py);
+* ``shift`` evicts only the vacated slabs to the HDF5 global map and loads
+  the newly visible slabs (the reference instead round-trips the whole
+  window over PCIe, src/warpsense/tsdf_mapping.cpp:116-123 — here only the
+  slabs move between device and host).
+
+Two layers:
+* pure jnp functions (``ring_index``/``in_bounds``/...) used inside jitted
+  device kernels, and
+* a host ``LocalMap`` shell (numpy state + GlobalMap IO) that owns
+  shift/write_back.  The pipeline keeps a device-resident mirror of the
+  (value, weight) arrays; the host copy is synced around shifts only.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .global_map import GlobalMap
+from .tsdf_entry import pack, unpack
+
+
+class LocalMapState(NamedTuple):
+    """Functional local-map state (a pytree; leaves may be np or jnp)."""
+    value: jax.Array   # (X, Y, Z) int16 — TSDF value, mm
+    weight: jax.Array  # (X, Y, Z) int16 — fixed-point weight
+    pos: jax.Array     # (3,) int32 — global voxel coords of window center
+    offset: jax.Array  # (3,) int32 — ring offset of the center cell
+
+
+def make_odd(n: int) -> int:
+    return n if n % 2 == 1 else n + 1
+
+
+def create_state(size: tuple[int, int, int], default_value: int,
+                 default_weight: int = 0, xp=np) -> LocalMapState:
+    size = tuple(make_odd(int(s)) for s in size)
+    return LocalMapState(
+        value=xp.full(size, default_value, dtype=xp.int16),
+        weight=xp.full(size, default_weight, dtype=xp.int16),
+        pos=xp.zeros((3,), dtype=xp.int32),
+        offset=xp.asarray([s // 2 for s in size], dtype=xp.int32),
+    )
+
+
+# --------------------------------------------------------------- pure indexing
+# (jnp code, safe inside jit; mirrored below in numpy for the host shell)
+
+def ring_coords(points, pos, offset, size):
+    """Global voxel coords (..., 3) -> array coords (..., 3)."""
+    return jnp.mod(points - pos + offset, jnp.asarray(size))
+
+
+def ring_index(points, pos, offset, size: tuple[int, int, int]):
+    """Global voxel coords (..., 3) -> flat index into the (X,Y,Z) array."""
+    a = ring_coords(points, pos, offset, size)
+    return a[..., 0] * (size[1] * size[2]) + a[..., 1] * size[2] + a[..., 2]
+
+
+def in_bounds(points, pos, size, buffer=0):
+    """Per-point bool: inside the window, shrunk (buffer>0) or grown
+    (buffer<0) — covers the reference's in_bounds / _with_buffer_neg /
+    _with_buffer_pos trio (device_map.h:109-128)."""
+    d = jnp.abs(points - pos)
+    lim = jnp.asarray(size) // 2 - buffer
+    return jnp.all(d <= lim, axis=-1)
+
+
+# ------------------------------------------------------------- host-side shell
+
+class LocalMap:
+    """Host orchestration shell around a numpy LocalMapState + GlobalMap.
+
+    Owns shift / write_back (host IO); per-scan device compute consumes a
+    jnp copy of the state (see warpsense_tpu/pipeline).
+    """
+
+    def __init__(self, size: tuple[int, int, int], global_map: GlobalMap):
+        self.size = tuple(make_odd(int(s)) for s in size)
+        self.global_map = global_map
+        self.state = create_state(self.size, global_map.default_value,
+                                  global_map.default_weight, xp=np)
+
+    # numpy twins of the pure functions ------------------------------------
+    def _coords(self, p: np.ndarray) -> np.ndarray:
+        return (p - self.state.pos + self.state.offset) % np.asarray(self.size)
+
+    def _in_bounds(self, p: np.ndarray) -> bool:
+        return bool(np.all(np.abs(p - self.state.pos) <= np.asarray(self.size) // 2))
+
+    def value_at(self, p) -> tuple[int, int]:
+        p = np.asarray(p, dtype=np.int64)
+        if not self._in_bounds(p):
+            raise IndexError(f"index out of local-map bounds: {p.tolist()}")
+        a = self._coords(p)
+        return (int(self.state.value[a[0], a[1], a[2]]),
+                int(self.state.weight[a[0], a[1], a[2]]))
+
+    def set_value_at(self, p, value: int, weight: int) -> None:
+        p = np.asarray(p, dtype=np.int64)
+        if not self._in_bounds(p):
+            raise IndexError(f"index out of local-map bounds: {p.tolist()}")
+        a = self._coords(p)
+        self.state.value[a[0], a[1], a[2]] = np.int16(value)
+        self.state.weight[a[0], a[1], a[2]] = np.int16(weight)
+
+    # ------------------------------------------------------------------- shift
+    def _area_array_index(self, start: np.ndarray, end: np.ndarray):
+        """np.ix_ index of array coords covering the inclusive global box."""
+        pos = np.asarray(self.state.pos)
+        off = np.asarray(self.state.offset)
+        axes = []
+        for i in range(3):
+            rng = np.arange(start[i], end[i] + 1, dtype=np.int64)
+            axes.append(((rng - pos[i] + off[i]) % self.size[i]).astype(np.int64))
+        return np.ix_(*axes)
+
+    def _save_area(self, start, end) -> None:
+        ix = self._area_array_index(np.asarray(start), np.asarray(end))
+        self.global_map.write_area(
+            np.asarray(start), pack(self.state.value[ix], self.state.weight[ix]))
+
+    def _load_area(self, start, end) -> None:
+        raw = self.global_map.read_area(np.asarray(start), np.asarray(end))
+        v, w = unpack(raw)
+        ix = self._area_array_index(np.asarray(start), np.asarray(end))
+        self.state.value[ix] = v
+        self.state.weight[ix] = w
+
+    def shift(self, new_pos) -> None:
+        """Re-center the window on ``new_pos`` (global voxel coords).
+
+        Axis-by-axis: save the vacated slab to the global map, advance
+        pos/offset, load the newly visible slab
+        (parity src/map/hdf5_local_map.cpp:53-118).
+        """
+        new_pos = np.asarray(new_pos, dtype=np.int64)
+        size = np.asarray(self.size, dtype=np.int64)
+        for axis in range(3):
+            pos = np.asarray(self.state.pos, dtype=np.int64)
+            diff = int(new_pos[axis] - pos[axis])
+            if diff == 0:
+                continue
+            if abs(diff) > self.size[axis]:
+                raise ValueError(
+                    f"shift of {diff} voxels on axis {axis} exceeds window size "
+                    f"{self.size[axis]}; shift more often")
+            start = pos - size // 2
+            end = pos + size // 2
+            if diff > 0:
+                end[axis] = start[axis] + diff - 1
+            else:
+                start[axis] = end[axis] + diff + 1
+            self._save_area(start, end)
+
+            self.state.pos[axis] += diff
+            self.state.offset[axis] = (self.state.offset[axis] + diff) % self.size[axis]
+
+            pos = np.asarray(self.state.pos, dtype=np.int64)
+            start = pos - size // 2
+            end = pos + size // 2
+            if diff > 0:
+                start[axis] = end[axis] - (diff - 1)
+            else:
+                end[axis] = start[axis] - diff - 1
+            self._load_area(start, end)
+
+    def write_back(self) -> None:
+        pos = np.asarray(self.state.pos, dtype=np.int64)
+        size = np.asarray(self.size, dtype=np.int64)
+        self._save_area(pos - size // 2, pos + size // 2)
+        self.global_map.write_back()
+
+    # ----------------------------------------------------------- device bridge
+    def device_state(self) -> LocalMapState:
+        """jnp copy of the state for jitted kernels."""
+        return LocalMapState(*(jnp.asarray(x) for x in self.state))
+
+    def absorb(self, state: LocalMapState) -> None:
+        """Copy a (device) state back into the host mirror after updates."""
+        self.state = LocalMapState(
+            value=np.asarray(state.value, dtype=np.int16),
+            weight=np.asarray(state.weight, dtype=np.int16),
+            pos=np.asarray(state.pos, dtype=np.int32),
+            offset=np.asarray(state.offset, dtype=np.int32),
+        )
