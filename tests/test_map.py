@@ -149,3 +149,18 @@ def test_lru_eviction_persists(tmp_path):
 def test_shift_too_far_raises(local_map):
     with pytest.raises(ValueError):
         local_map.shift((6, 0, 0))
+
+
+def test_absorb_then_shift_mutable(tmp_path):
+    """absorb() must deep-copy device arrays: jax arrays view as read-only
+    numpy and shift() mutates the host mirror in place (regression)."""
+    import jax.numpy as jnp
+    from warpsense_tpu.map.global_map import GlobalMap
+    from warpsense_tpu.map.local_map import LocalMap, LocalMapState
+
+    gm = GlobalMap(tmp_path / "absorb.h5", 600, 0)
+    lm = LocalMap((7, 7, 7), gm)
+    state = LocalMapState(*(jnp.asarray(x) for x in lm.state))
+    lm.absorb(state)
+    lm.shift([2, 1, 0])   # raised ValueError before the fix
+    assert tuple(lm.state.pos.tolist()) == (2, 1, 0)

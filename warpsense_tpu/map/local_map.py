@@ -190,9 +190,11 @@ class LocalMap:
 
     def absorb(self, state: LocalMapState) -> None:
         """Copy a (device) state back into the host mirror after updates."""
+        # np.array (not asarray): jax arrays view as read-only numpy, and
+        # shift()/load_area mutate the host mirror in place.
         self.state = LocalMapState(
-            value=np.asarray(state.value, dtype=np.int16),
-            weight=np.asarray(state.weight, dtype=np.int16),
-            pos=np.asarray(state.pos, dtype=np.int32),
-            offset=np.asarray(state.offset, dtype=np.int32),
+            value=np.array(state.value, dtype=np.int16),
+            weight=np.array(state.weight, dtype=np.int16),
+            pos=np.array(state.pos, dtype=np.int32),
+            offset=np.array(state.offset, dtype=np.int32),
         )

@@ -1,0 +1,61 @@
+"""Scan preprocessing: voxel-center snap + dedup + pose transform.
+
+TPU-native re-design of ``App::preprocess``
+(/root/reference/src/warpsense/app.cpp:120-148):
+
+* the reference dedups via a host ``unordered_set`` (dynamic size); here the
+  cloud keeps a static shape — voxel keys are sorted on device, duplicates
+  masked, and valid points compacted to the front so downstream ops march
+  over a tight ``capacity``-sized prefix;
+* the near-origin filter (all coords < 0.3 m) and the voxel-center snap
+  (floor to voxel, + resolution/2) match the reference exactly;
+* the pose transform uses the same fixed-point integer path as the device
+  registration (to_int_mat/transform_point, util/util.h:8-18).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import to_int_mat, transform_point_fixed
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "capacity"))
+def preprocess(points_m: jax.Array, valid: jax.Array, pose: jax.Array, *,
+               resolution: int, capacity: int) -> tuple[jax.Array, jax.Array]:
+    """points_m: (N, 3) float32 meters (padded rows arbitrary);
+    valid: (N,) bool; pose: 4x4 float32 (mm translation).
+
+    Returns (points (capacity, 3) int32 mm, mask (capacity,) bool):
+    deduplicated voxel centers transformed into map frame, valid-first.
+    """
+    x, y, z = points_m[:, 0], points_m[:, 1], points_m[:, 2]
+    near = (x < 0.3) & (y < 0.3) & (z < 0.3)   # reference quirk: AND, not norm
+    keep = valid & ~near & jnp.all(jnp.isfinite(points_m), axis=-1)
+
+    mm = points_m * 1000.0
+    center = (jnp.floor(mm / resolution) * resolution
+              + resolution // 2).astype(jnp.int32)
+
+    # sort by voxel key; push dropped points to the back
+    big = jnp.int32(2 ** 30)
+    cx = jnp.where(keep, center[:, 0], big)
+    cy = jnp.where(keep, center[:, 1], big)
+    cz = jnp.where(keep, center[:, 2], big)
+    order = jnp.lexsort((cz, cy, cx))
+    sc = center[order]
+    skeep = keep[order]
+
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             jnp.any(sc[1:] != sc[:-1], axis=-1)])
+    uniq = skeep & first
+
+    # compact unique points to the front (stable: argsort of ~uniq)
+    comp = jnp.argsort(~uniq, stable=True)[:capacity]
+    out_pts = sc[comp]
+    out_mask = uniq[comp]
+
+    transformed = transform_point_fixed(out_pts, to_int_mat(pose))
+    return jnp.where(out_mask[:, None], transformed, 0), out_mask
