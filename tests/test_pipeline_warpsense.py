@@ -1,0 +1,89 @@
+"""End-to-end warpsense loop on a synthetic trajectory (ATE check).
+
+Plays the role of the reference's rosbag+evo evaluation (README.md:262-279)
+on a fully synthetic box-room world: render organized scans along a known
+trajectory, run the SLAM loop, compare the estimated path to ground truth.
+"""
+import numpy as np
+import pytest
+
+from warpsense_tpu.core.config import Params
+from warpsense_tpu.io.synthetic import (BoxWorld, circular_trajectory,
+                                        imu_stream_for, render_scan)
+from warpsense_tpu.pipeline.warpsense import WarpsenseApp
+from warpsense_tpu.utils.imu import ImuSample
+
+N_SCANS = 60          # half circle at ~62 mm / 3 deg per scan —
+SCAN_DT = 0.05        # inside the warpsense operating envelope (20 Hz-ish)
+
+
+@pytest.fixture(scope="module")
+def slam_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("slam")
+    params = Params.from_dict({
+        "lidar": {"channels": 32, "hresolution": 256},
+        "map": {"max_distance": 0.96, "update_distance": 0.3,
+                "resolution": 128, "size": {"x": 12.0, "y": 12.0, "z": 6.0},
+                "shift": 3.0, "max_weight": 10},
+        "registration": {"max_iterations": 200, "epsilon": 0.03,
+                         "it_weight_gradient": 0.1},
+    })
+    world = BoxWorld.default()
+    gt = circular_trajectory(2 * N_SCANS, radius=1.2, z=0.3)[:N_SCANS]
+    rng = np.random.default_rng(0)
+
+    app = WarpsenseApp(params, map_path=tmp / "slam.h5", capacity=8192,
+                       max_range_mm=22000)
+    imu = imu_stream_for(gt, SCAN_DT)
+    est = []
+    for i in range(N_SCANS):
+        stamp = i * SCAN_DT
+        for s in imu:
+            if (i - 1) * SCAN_DT < s.stamp <= stamp:
+                app.imu_callback(ImuSample(s.stamp, s.angular_velocity))
+        scan = render_scan(world, gt[i], channels=32, columns=256,
+                           max_range=22.0, noise_std=0.01, rng=rng)
+        est.append(app.cloud_callback(scan, stamp).copy())
+    app.terminate()
+    return gt, np.stack(est), tmp / "slam.h5"
+
+
+def ate_rmse(gt, est_mm):
+    """Align est (map frame = first sensor frame) into world via gt[0]."""
+    est_m = est_mm.copy()
+    est_m[:, :3, 3] /= 1000.0
+    world_est = np.einsum("ij,njk->nik", gt[0], est_m)
+    err = world_est[:, :3, 3] - gt[:, :3, 3]
+    return float(np.sqrt(np.mean(np.sum(err ** 2, axis=1))))
+
+
+def test_trajectory_ate(slam_run):
+    gt, est, _ = slam_run
+    rmse = ate_rmse(gt, est)
+    # the nearest-cell residual quantization (128 mm voxels) plus the
+    # ~0.1 deg/scan field-chirality noise floor put the achievable ATE
+    # around 0.2 m on this trajectory; trilinear residuals (planned) push
+    # it below the voxel size
+    assert rmse < 0.4, f"ATE RMSE {rmse:.3f} m"
+
+
+def test_poses_persisted(slam_run):
+    _, est, path = slam_run
+    from warpsense_tpu.map.global_map import GlobalMap
+    gm = GlobalMap(path, 0, truncate=False)
+    poses = gm.read_poses()
+    gm.close()
+    assert len(poses) == N_SCANS
+    np.testing.assert_allclose(poses[-1][:3], est[-1][:3, 3] / 1000.0,
+                               atol=2e-3)
+
+
+def test_map_persisted_nonempty(slam_run):
+    _, _, path = slam_run
+    import h5py
+    with h5py.File(path, "r") as f:
+        chunks = list(f["map"].keys())
+        assert len(chunks) > 4
+        total = sum(int(np.count_nonzero(f["map"][c][...] >> 16))
+                    for c in chunks)
+        assert total > 10000  # plenty of weighted voxels persisted

@@ -144,10 +144,20 @@ def test_registration_recovers_translation(corner_scene):
     out = register_cloud(state, jnp.asarray(pts, jnp.int32), mask,
                          jnp.asarray(perturbed), size=corner_map.size,
                          resolution=RESOLUTION, max_iterations=200,
-                         it_weight_gradient=0.1, epsilon=0.03)
+                         it_weight_gradient=0.1, epsilon=0.0)
     rot_err, trans_err = pose_errors(np.asarray(out))
     assert trans_err < RESOLUTION, f"translation error {trans_err:.1f} mm"
-    assert rot_err < 0.6, f"introduced rotation {rot_err:.3f} deg"
+    assert rot_err < 0.3, f"introduced rotation {rot_err:.3f} deg"
+
+    # fast mode: true-GN steps converge tighter on translation in a
+    # fraction of the iterations
+    out = register_cloud(state, jnp.asarray(pts, jnp.int32), mask,
+                         jnp.asarray(perturbed), size=corner_map.size,
+                         resolution=RESOLUTION, max_iterations=30,
+                         it_weight_gradient=0.1, epsilon=0.0, mode="fast")
+    rot_err, trans_err = pose_errors(np.asarray(out))
+    assert trans_err < RESOLUTION / 2, f"fast translation {trans_err:.1f} mm"
+    assert rot_err < 1.0
 
 
 def test_registration_improves_full_perturbation(corner_scene):
@@ -167,9 +177,9 @@ def test_registration_improves_full_perturbation(corner_scene):
     out = register_cloud(state, jnp.asarray(pts, jnp.int32), mask,
                          jnp.asarray(perturbed), size=corner_map.size,
                          resolution=RESOLUTION, max_iterations=200,
-                         it_weight_gradient=0.1, epsilon=0.03)
+                         it_weight_gradient=0.1, epsilon=0.0)
     rot_err, trans_err = pose_errors(np.asarray(out))
-    assert rot_err < 0.4 * rot0, f"rotation {rot_err:.3f} !< 0.4*{rot0:.3f}"
+    assert rot_err < 0.6 * rot0, f"rotation {rot_err:.3f} !< 0.6*{rot0:.3f}"
     assert trans_err < RESOLUTION, f"translation {trans_err:.1f} mm"
 
 
@@ -187,4 +197,4 @@ def test_registration_reference_recovers_translation(corner_scene):
                                    it_weight_gradient=0.1, epsilon=0.0)
     rot_err, trans_err = pose_errors(out)
     assert trans_err < 1.5 * RESOLUTION
-    assert rot_err < 1.0  # transient rotation the damped GN injects/decays
+    assert rot_err < 1.7  # transient rotation the damped GN injects/decays

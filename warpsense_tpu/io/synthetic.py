@@ -1,0 +1,144 @@
+"""Synthetic OS1-128 scan generator — analytic ray-cast of a box world.
+
+The reference is driven by rosbags of an Ouster OS1-128 (128 channels x
+1024 columns, params/params.yaml:2-5).  This module synthesizes the same
+organized scans from an analytic scene (room walls + box pillars) so the
+whole pipeline (preprocessing, featsense feature extraction on the
+organized grid, registration, fusion) can be exercised and benchmarked
+without sensor data.  Scans are generated in the sensor frame; ground
+truth poses come from the trajectory, enabling ATE-style evaluation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Box:
+    lo: np.ndarray  # (3,) meters
+    hi: np.ndarray  # (3,) meters
+
+
+@dataclass
+class BoxWorld:
+    """A room (sensor inside `room`) containing solid `pillars`."""
+    room: Box
+    pillars: list[Box] = field(default_factory=list)
+
+    @staticmethod
+    def default() -> "BoxWorld":
+        room = Box(np.array([-8.0, -6.0, -2.0]), np.array([8.0, 6.0, 3.0]))
+        pillars = [
+            Box(np.array([2.0, 1.0, -2.0]), np.array([2.6, 1.6, 3.0])),
+            Box(np.array([-3.0, -2.5, -2.0]), np.array([-2.2, -1.9, 3.0])),
+            Box(np.array([4.0, -3.5, -2.0]), np.array([4.8, -2.9, 0.5])),
+            Box(np.array([-5.5, 2.0, -2.0]), np.array([-4.9, 3.2, 1.2])),
+        ]
+        return BoxWorld(room, pillars)
+
+
+def _ray_box_exit(origins, dirs, box: Box):
+    """t of exit through the box walls (rays starting inside)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_lo = (box.lo - origins) / dirs
+        t_hi = (box.hi - origins) / dirs
+    t_far = np.maximum(t_lo, t_hi)
+    return np.min(t_far, axis=-1)
+
+
+def _ray_box_enter(origins, dirs, box: Box):
+    """t of entry into a solid box; +inf when missed or behind."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_lo = (box.lo - origins) / dirs
+        t_hi = (box.hi - origins) / dirs
+    t_near = np.max(np.minimum(t_lo, t_hi), axis=-1)
+    t_far = np.min(np.maximum(t_lo, t_hi), axis=-1)
+    hit = (t_near <= t_far) & (t_far > 0)
+    t = np.where(t_near > 0, t_near, np.inf)
+    return np.where(hit, t, np.inf)
+
+
+def ray_directions(channels: int = 128, columns: int = 1024,
+                   vfov_deg: float = 45.0) -> np.ndarray:
+    """(channels, columns, 3) unit rays in the sensor frame (OS1 layout:
+    vertical fan of `channels` beams swept over 360 deg azimuth)."""
+    elev = np.deg2rad(np.linspace(vfov_deg / 2, -vfov_deg / 2, channels))
+    azim = np.linspace(-np.pi, np.pi, columns, endpoint=False)
+    ce, se = np.cos(elev)[:, None], np.sin(elev)[:, None]
+    ca, sa = np.cos(azim)[None, :], np.sin(azim)[None, :]
+    x = ce * ca
+    y = ce * sa
+    z = np.broadcast_to(se, x.shape)
+    return np.stack([x, y, z], axis=-1).astype(np.float64)
+
+
+def render_scan(world: BoxWorld, pose: np.ndarray, *, channels: int = 128,
+                columns: int = 1024, vfov_deg: float = 45.0,
+                max_range: float = 50.0, noise_std: float = 0.0,
+                rng: np.random.Generator | None = None) -> np.ndarray:
+    """Organized (channels, columns, 3) float32 cloud in the SENSOR frame.
+
+    ``pose``: 4x4 sensor-to-world, meters.  Misses / out-of-range rays are
+    (0, 0, 0) — the convention the reference treats as invalid
+    (mypcl/fromROSMsg zeros, featsense skips them).
+    """
+    dirs_s = ray_directions(channels, columns, vfov_deg)
+    R = pose[:3, :3].astype(np.float64)
+    origin = pose[:3, 3].astype(np.float64)
+    dirs_w = dirs_s @ R.T
+    o = np.broadcast_to(origin, dirs_w.shape)
+
+    t = _ray_box_exit(o, dirs_w, world.room)
+    for p in world.pillars:
+        t = np.minimum(t, _ray_box_enter(o, dirs_w, p))
+    valid = np.isfinite(t) & (t > 0.1) & (t < max_range)
+    t = np.where(valid, t, 0.0)
+    if noise_std > 0.0 and rng is not None:
+        t = np.where(valid, t + rng.normal(0.0, noise_std, t.shape), t)
+    pts_sensor = dirs_s * t[..., None]
+    return np.where(valid[..., None], pts_sensor, 0.0).astype(np.float32)
+
+
+def circular_trajectory(n_poses: int, radius: float = 2.0,
+                        z: float = 0.3, yaw_rate: float | None = None
+                        ) -> np.ndarray:
+    """(n, 4, 4) poses walking a circle while yawing (meters)."""
+    ts = np.linspace(0.0, 2 * np.pi, n_poses, endpoint=False)
+    poses = np.zeros((n_poses, 4, 4), dtype=np.float64)
+    for i, a in enumerate(ts):
+        yaw = a + np.pi / 2 if yaw_rate is None else a * yaw_rate
+        c, s = np.cos(yaw), np.sin(yaw)
+        poses[i] = np.eye(4)
+        poses[i][:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        poses[i][:3, 3] = [radius * np.cos(a), radius * np.sin(a), z]
+    return poses
+
+
+def imu_stream_for(poses_mm: np.ndarray, scan_dt: float, imu_rate: int = 100):
+    """Synthesize gyro samples consistent with consecutive poses.
+
+    Returns a list of (stamp_s, angular_velocity[3]) covering each
+    inter-scan interval, suitable for ImuAccumulator.
+    """
+    from ..utils.imu import ImuSample
+
+    samples = []
+    n = len(poses_mm)
+    steps = max(1, int(round(imu_rate * scan_dt)))
+    for i in range(1, n):
+        dR = poses_mm[i][:3, :3] @ poses_mm[i - 1][:3, :3].T
+        # rotation vector of dR
+        angle = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        if angle < 1e-12:
+            w = np.zeros(3)
+        else:
+            axis = np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
+                             dR[1, 0] - dR[0, 1]]) / (2 * np.sin(angle))
+            w = axis * angle / scan_dt
+        t0 = (i - 1) * scan_dt
+        for k in range(steps):
+            samples.append(ImuSample(stamp=t0 + (k + 1) * scan_dt / steps,
+                                     angular_velocity=w.copy()))
+    return samples

@@ -40,7 +40,7 @@ _SG = 1.0 / (1 << 10)
 
 def jacobian_stats(state: LocalMapState, points: jax.Array, mask: jax.Array,
                    total_transform: jax.Array, *, size: tuple[int, int, int],
-                   resolution: int):
+                   resolution: int, normalize_gradient: bool = False):
     """One iteration's scaled normal-equation statistics.
 
     Returns (Hs 6x6 f32, gs 6 f32, e f32, c f32) where Hs = D H D and
@@ -52,7 +52,9 @@ def jacobian_stats(state: LocalMapState, points: jax.Array, mask: jax.Array,
     center = total_transform[:3, 3].astype(jnp.int32)  # C cast truncation
 
     pts = transform_point_fixed(points, int_mat)
-    buf = div_trunc(pts, resolution)
+    # floor cells, matching the fusion op's voxel addressing (see
+    # ops/tsdf.py on the deliberate deviation from the reference's trunc)
+    buf = jnp.floor_divide(pts, resolution)
     p = (pts - center).astype(jnp.float32)
 
     valid = mask & in_bounds(buf, state.pos, jnp.asarray(size), 1)
@@ -79,6 +81,11 @@ def jacobian_stats(state: LocalMapState, points: jax.Array, mask: jax.Array,
         ok = (nw != 0) & (pw != 0) & ~sign_change
         grads.append(jnp.where(ok, div_trunc(nv - pv, 2), 0))
     grad = jnp.stack(grads, axis=-1).astype(jnp.float32)   # (N, 3)
+    if normalize_gradient:
+        # proper directional derivative (mm per mm instead of mm per voxel):
+        # turns the reference's ~1/resolution-scaled creep steps into true
+        # Gauss-Newton steps (an improvement mode, not parity).
+        grad = grad / float(resolution)
 
     cross = jnp.cross(p, grad)                              # (N, 3)
     Js = jnp.concatenate([cross * _SC, grad * _SG], axis=-1)  # (N, 6)
@@ -95,17 +102,28 @@ def jacobian_stats(state: LocalMapState, points: jax.Array, mask: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("size", "resolution", "max_iterations"),
+    static_argnames=("size", "resolution", "max_iterations", "mode"),
 )
 def register_cloud(state: LocalMapState, points: jax.Array, mask: jax.Array,
                    pretransform: jax.Array, *, size: tuple[int, int, int],
                    resolution: int, max_iterations: int,
-                   it_weight_gradient: float, epsilon: float) -> jax.Array:
+                   it_weight_gradient: float, epsilon: float,
+                   mode: str = "parity") -> jax.Array:
     """Full GN registration; returns the refined 4x4 pose (f32).
 
     Convergence: |err - prev[2]| < eps and |err - prev[0]| < eps over the
     4-error sliding window (tsdf_registration.cpp:81-93).
+
+    ``mode``:
+    * ``"parity"`` — the reference's exact scheme: un-normalized voxel
+      gradient (so steps creep at ~1/resolution of the GN step) and the
+      rotation centered on the *initial* pretransform translation.
+    * ``"fast"`` — resolution-normalized gradients (true GN steps) and
+      per-iteration recentering on the current pose translation; converges
+      in a handful of iterations and avoids the parity mode's coupling of
+      far-from-origin rotation with translation.
     """
+    fast = mode == "fast"
     center = pretransform[:3, 3].astype(jnp.int32)
     D = jnp.concatenate([jnp.full((3,), _SC, jnp.float32),
                          jnp.full((3,), _SG, jnp.float32)])
@@ -117,14 +135,16 @@ def register_cloud(state: LocalMapState, points: jax.Array, mask: jax.Array,
     def body(carry):
         i, total, alpha, prev, _ = carry
         H, g, e, c = jacobian_stats(state, points, mask, total,
-                                    size=size, resolution=resolution)
+                                    size=size, resolution=resolution,
+                                    normalize_gradient=fast)
         # (D H D + alpha c D^2) y = -D g;  xi = D y
         A = H + alpha * c * jnp.diag(D * D)
         ok = c > 0.0
         A = jnp.where(ok, A, jnp.eye(6, dtype=jnp.float32))
         y = jnp.linalg.solve(A, -g)
         xi = jnp.where(ok, D * y, jnp.zeros(6, jnp.float32))
-        transform = xi_to_transform(xi, center)
+        ctr = total[:3, 3].astype(jnp.int32) if fast else center
+        transform = xi_to_transform(xi, ctr)
         total = jnp.where(ok, transform @ total, total)
 
         err = e / jnp.maximum(c, 1.0)

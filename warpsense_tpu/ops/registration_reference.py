@@ -45,7 +45,7 @@ def jacobian_stats(points_mm: np.ndarray, local_map, total_transform: np.ndarray
     center = total_transform[:3, 3].astype(np.int64)  # C cast: trunc toward 0
 
     pts = transform_point_fixed_np(np.asarray(points_mm, np.int64), int_mat)
-    buf = c_div(pts, resolution)
+    buf = np.floor_divide(pts, resolution)  # floor cells, like the device op
     p = pts - center
 
     size = np.asarray(local_map.size)

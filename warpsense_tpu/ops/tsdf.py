@@ -21,6 +21,16 @@ Internal arithmetic is float32/int32 (exactly the envelope of the CUDA
 kernel, which also used 32-bit ints except for two `long` intermediates);
 parity with the exact integer host twin (ops/tsdf_reference.py) is validated
 statistically in tests.
+
+Deliberate deviation from the reference: voxel addressing uses FLOOR
+division everywhere.  The reference truncates toward zero (C integer
+division) but then computes cell centers as ``index*res + res/2`` — a
+formula only valid for floor cells, so every negative-coordinate octant
+stores TSDF values measured from a point a full voxel outside the cell
+(update_tsdf.cu:89).  That bias (median |v| jumps from ~res/4 to ~1.4*res)
+feeds distorted gradients to the registration and produces a systematic
+yaw torque; floor addressing removes it.  Positive-coordinate behavior
+(and all the reference's golden tests, test/map.cpp) is unchanged.
 """
 from __future__ import annotations
 
@@ -120,7 +130,7 @@ def tsdf_update(state: LocalMapState, points: jax.Array, points_mask: jax.Array,
 
     direction = points - pos_mm                                   # (N,3) int32
     distance = _floor_norm(direction)                             # (N,)
-    cell = div_trunc(points, resolution)
+    cell = jnp.floor_divide(points, resolution)
     point_ok = (points_mask
                 & (distance > 0)
                 & in_bounds(cell, state.pos, jnp.asarray(size),
@@ -143,7 +153,7 @@ def tsdf_update(state: LocalMapState, points: jax.Array, points_mask: jax.Array,
         length = (1 + k * step_mm).astype(jnp.int32)
         ratio = length.astype(jnp.float32) / dist_f[:, 0]
         proj = pos_mm + jnp.trunc(dir_f * ratio[:, None]).astype(jnp.int32)
-        return proj, div_trunc(proj, resolution), length
+        return proj, jnp.floor_divide(proj, resolution), length
 
     def body(k, key_map):
         proj, index, length = index_at(k)
@@ -173,7 +183,7 @@ def tsdf_update(state: LocalMapState, points: jax.Array, points_mask: jax.Array,
         keys = []
         for s in range(max_isteps):
             raw = lowest + div_trunc(s * resolution * interp, MATRIX_RESOLUTION)
-            widx = div_trunc(raw, resolution)
+            widx = jnp.floor_divide(raw, resolution)
             ok = base_ok & (s < iter_steps) & in_bounds(widx, state.pos,
                                                         jnp.asarray(size))
             w = jnp.where(s == mid, weight, -weight)

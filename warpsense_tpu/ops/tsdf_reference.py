@@ -15,6 +15,10 @@ src/cpu/update_tsdf.cpp:397-564 (CPU flavor):
   non-middle copies marked with negative weight,
 * per-voxel conflict resolution, then weighted running average into the map.
 
+Like the device op (see ops/tsdf.py), voxel addressing deviates from the
+reference by using floor division so the ``index*res + res/2`` cell-center
+formula is correct in negative octants too.
+
 Conflict resolution differs deliberately from the reference: the reference's
 CUDA CAS rule (cuda/util.h:70-102) and CPU rule (cpu/update_tsdf.cpp:508-512)
 are both order-dependent (racy on GPU).  We define a deterministic lattice —
@@ -82,8 +86,7 @@ def raymarch_emissions(points_mm: np.ndarray, scanner_pos_voxel: np.ndarray,
     out: dict[tuple, tuple[int, int]] = {}
 
     for point in np.asarray(points_mm, dtype=np.int64):
-        cell = np.array([c_div(point[0], resolution), c_div(point[1], resolution),
-                         c_div(point[2], resolution)], dtype=np.int64)
+        cell = np.floor_divide(point, resolution)
         # GPU gate: cell within window + tau/res/2 buffer
         # (update_tsdf.cu:55); CPU gate is plain in_bounds.
         if not in_bounds_buffer_fn(cell, -(tau // resolution // 2)):
@@ -107,8 +110,7 @@ def raymarch_emissions(points_mm: np.ndarray, scanner_pos_voxel: np.ndarray,
         for length in range(1, distance + tau + 1, resolution // 2):
             proj = pos + np.array([c_div(int(direction[i]) * length, distance)
                                    for i in range(3)], dtype=np.int64)
-            index = np.array([c_div(int(proj[i]), resolution) for i in range(3)],
-                             dtype=np.int64)
+            index = np.floor_divide(proj, resolution)
             # reference quirk: only x and y compared (update_tsdf.cu:71)
             if prev is not None and index[0] == prev[0] and index[1] == prev[1]:
                 continue
@@ -137,8 +139,7 @@ def raymarch_emissions(points_mm: np.ndarray, scanner_pos_voxel: np.ndarray,
                 raw = lowest + np.array(
                     [c_div(step * resolution * int(interp[i]), MATRIX_RESOLUTION)
                      for i in range(3)], dtype=np.int64)
-                widx = np.array([c_div(int(raw[i]), resolution) for i in range(3)],
-                                dtype=np.int64)
+                widx = np.floor_divide(raw, resolution)
                 if not in_bounds_fn(widx):
                     continue
                 w = weight if step == mid else -weight

@@ -1,0 +1,218 @@
+"""Warpsense pipeline: HATSDF-SLAM per-scan loop, TPU-native.
+
+Behavioral parity with the reference's App + TSDFMapping + TSDFRegistration
+orchestration (src/warpsense/app.cpp:65-176, src/warpsense/tsdf_mapping.cpp)
+with a functional twist:
+
+* the local map lives on device as a ``LocalMapState`` pytree; every scan
+  runs ``preprocess`` -> (gated) ``tsdf_update`` (donated state) ->
+  ``register_cloud`` (whole GN loop on device) — no per-iteration
+  host/device round trips (the reference's perform_registration copies the
+  pose up and 32 partial reductions down every iteration,
+  registration.cu:351-361);
+* the reference's reader/writer ``shared_mutex`` disappears — updates
+  return a NEW state, so there is nothing to race;
+* map shift pulls the state to the host, runs the ring-buffer shift
+  against the chunked HDF5 global map, and pushes the state back
+  (tsdf_mapping.cpp:97-136 round-trips the whole window over PCIe;
+  here it only happens on actual shifts).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Params
+from ..core.consts import MATRIX_RESOLUTION
+from ..core.geometry import to_int_mat, transform_point_fixed
+from ..map.global_map import GlobalMap
+from ..map.local_map import LocalMap
+from ..obs.profiler import RuntimeEvaluator
+from ..ops.preprocess import preprocess
+from ..ops.registration import register_cloud
+from ..ops.tsdf import plan_raymarch, tsdf_update
+from ..utils.filter import SlidingWindowFilter
+from ..utils.imu import ImuAccumulator, ImuSample
+from ..utils.ring_buffer import ConcurrentRingBuffer
+
+
+def _mat_to_quat_np(R: np.ndarray) -> np.ndarray:
+    from ..core import geometry
+    return np.asarray(geometry.mat_to_quat(jnp.asarray(R, jnp.float32)))
+
+
+class WarpsenseApp:
+    """Single-chip warpsense loop fed by ``cloud_callback``/``imu_callback``.
+
+    ``map_path``: HDF5 output; defaults to params.map.h5_path().
+    ``capacity``: static preprocessed-cloud capacity (the reference caps
+    registration at 128K points, registration.cu:261).
+    """
+
+    def __init__(self, params: Params, map_path: str | Path | None = None,
+                 capacity: int = 32768, max_range_mm: int = 50000,
+                 profile: bool = False):
+        self.params = params
+        self.capacity = int(capacity)
+        self.profile = profile
+        m = params.map
+        path = Path(map_path) if map_path is not None else m.h5_path()
+        self.global_map = GlobalMap(path, m.tau, m.initial_weight, meta={
+            "tau": m.tau, "map_resolution": m.resolution,
+            "max_weight": m.max_weight_scaled,
+            "max_distance": m.max_distance,
+            "map_size_x": m.size_voxels[0], "map_size_y": m.size_voxels[1],
+            "map_size_z": m.size_voxels[2],
+        })
+        self.local_map = LocalMap(m.size_voxels, self.global_map)
+        self.state = self.local_map.device_state()
+
+        self.pose = np.eye(4, dtype=np.float32)  # mm translation
+        self.last_tsdf_pose = np.eye(4, dtype=np.float32)
+        self.last_shift_pose = np.eye(4, dtype=np.float32)
+        self.initialized = False
+        self.shifted = False
+        self.path: list[np.ndarray] = []
+
+        self.imu_buffer = ConcurrentRingBuffer(1000)
+        self.imu_filter = SlidingWindowFilter(10)
+        self.imu_acc = ImuAccumulator(self.imu_buffer)
+
+        self.max_steps, self.max_isteps = plan_raymarch(
+            m.tau, m.resolution, max_range_mm, params.lidar.channels,
+            params.lidar.vfov)
+        self.eval = RuntimeEvaluator.get_instance()
+
+    # ------------------------------------------------------------- callbacks
+    def imu_callback(self, sample: ImuSample) -> None:
+        """Gyro smoothing (window 10) + buffering; parity app.cpp:54-63."""
+        filtered = self.imu_filter.update(sample.angular_velocity)
+        self.imu_buffer.push_nb(
+            ImuSample(sample.stamp, np.asarray(filtered)), force=True)
+
+    def cloud_callback(self, cloud_m: np.ndarray, stamp: float) -> np.ndarray:
+        """One scan: preprocess -> gated TSDF fusion -> register -> pose.
+
+        ``cloud_m``: (..., 3) float32 meters in the SENSOR frame (organized
+        scans are flattened); zero rows are invalid.  Returns the updated
+        4x4 pose (mm).
+        """
+        prof = self.eval if self.profile else None
+        if prof:
+            prof.start("total")
+        m = self.params.map
+        flat = np.ascontiguousarray(cloud_m.reshape(-1, 3))
+        if len(flat) > self.capacity:
+            # static-shape budget: random stride subsample like VoxelGrid
+            stride = int(np.ceil(len(flat) / self.capacity))
+            flat = flat[::stride]
+        pad = np.zeros((self.capacity - len(flat), 3), np.float32)
+        cloud = jnp.asarray(np.concatenate([flat, pad]), jnp.float32)
+        valid = jnp.asarray(
+            np.concatenate([np.any(flat != 0.0, axis=1),
+                            np.zeros(len(pad), bool)]))
+
+        if prof:
+            prof.start("preprocessing")
+        pts, mask = preprocess(cloud, valid, jnp.asarray(self.pose),
+                               resolution=m.resolution, capacity=self.capacity)
+        if prof:
+            pts.block_until_ready()
+            prof.stop("preprocessing")
+
+        dist_tsdf = np.linalg.norm(
+            (self.last_tsdf_pose[:3, 3] - self.pose[:3, 3]) / 1000.0)
+        if not self.initialized or dist_tsdf > m.update_distance or self.shifted:
+            self.initialized = True
+            self.shifted = False
+            self.last_tsdf_pose = self.pose.copy()
+            if prof:
+                prof.start("tsdf")
+            self._update_tsdf(pts, mask)
+            if prof:
+                self.state.value.block_until_ready()
+                prof.stop("tsdf")
+
+        pretransform = self.imu_acc.acc_transform(stamp).astype(np.float32)
+        # Apply the IMU delta rotation about the CURRENT sensor position,
+        # not the map origin: the reference left-multiplies the raw delta
+        # (app.cpp:98-102), which at distance r from the origin injects a
+        # spurious ~2 sin(theta/2) r tangential offset every scan.
+        dR = pretransform[:3, :3]
+        pretransform[:3, 3] += (np.eye(3, dtype=np.float32) - dR) @ self.pose[:3, 3]
+
+        if prof:
+            prof.start("registration")
+        transform = register_cloud(
+            self.state, pts, mask, jnp.asarray(pretransform),
+            size=self.local_map.size, resolution=m.resolution,
+            max_iterations=self.params.registration.max_iterations,
+            it_weight_gradient=self.params.registration.it_weight_gradient,
+            epsilon=self.params.registration.epsilon)
+        transform = np.asarray(transform)
+        if prof:
+            prof.stop("registration")
+
+        # Pose update: full SE3 composition pose <- transform @ pose.  The
+        # registration refined `total` over the already-pose-transformed
+        # cloud, so the corrected sensor pose is exactly transform @ pose.
+        # (The reference instead does R <- dR R but t += dt, app.cpp:172-176,
+        # dropping the (dR - I) @ t coupling — a bug that only cancels when
+        # the scan-to-scan rotation is zero and that manifests as steady yaw
+        # drift on curved trajectories.)
+        self.pose = (transform @ self.pose).astype(np.float32)
+        self.path.append(self.pose.copy())
+        self.global_map.write_pose(self.pose[:3, 3],
+                                   _mat_to_quat_np(self.pose[:3, :3]),
+                                   scale=1000.0)
+        self._maybe_shift()
+        if prof:
+            prof.stop("total")
+        return self.pose.copy()
+
+    # -------------------------------------------------------------- internals
+    def _update_tsdf(self, pts, mask) -> None:
+        m = self.params.map
+        int_rot = to_int_mat(jnp.asarray(self.pose))
+        up = transform_point_fixed(
+            jnp.asarray([0, 0, MATRIX_RESOLUTION], jnp.int32),
+            int_rot.at[:3, 3].set(0))
+        scanner_pos = jnp.asarray(
+            np.floor(self.pose[:3, 3] / m.resolution).astype(np.int32))
+        self.state = tsdf_update(
+            self.state, pts, mask, scanner_pos, up,
+            size=self.local_map.size, tau=m.tau,
+            max_weight=m.max_weight_scaled, resolution=m.resolution,
+            max_steps=self.max_steps, max_isteps=self.max_isteps,
+            channels=self.params.lidar.channels,
+            vfov_deg=self.params.lidar.vfov)
+
+    def _maybe_shift(self) -> None:
+        """Shift the ring-buffer window once the pose wandered >= map.shift
+        meters from the last shift pose (tsdf_mapping.cpp:97-136)."""
+        m = self.params.map
+        dist = np.linalg.norm(
+            (self.last_shift_pose[:3, 3] - self.pose[:3, 3]) / 1000.0)
+        if dist < m.shift:
+            return
+        self.last_shift_pose = self.pose.copy()
+        new_pos = np.floor(self.pose[:3, 3] / m.resolution).astype(np.int64)
+        self.local_map.absorb(self.state)
+        self.local_map.shift(new_pos)
+        self.state = self.local_map.device_state()
+        self.shifted = True
+
+    # --------------------------------------------------------------- shutdown
+    def terminate(self, csv_path: str | Path | None = None) -> None:
+        """Persist map + poses; parity with App::terminate (app.cpp:190-225)."""
+        self.imu_buffer.clear()
+        self.local_map.absorb(self.state)
+        self.local_map.write_back()
+        if csv_path is not None:
+            self.eval.export_results(csv_path)
+        self.global_map.close()
+
+    def trajectory(self) -> np.ndarray:
+        return np.stack(self.path) if self.path else np.zeros((0, 4, 4))
