@@ -1,0 +1,170 @@
+"""Device (XLA/TPU) featsense feature extraction.
+
+TPU-first re-design of the F-LOAM organized-cloud feature stage
+(/root/reference/src/featsense/lidar_processing.cpp:125-286):
+
+* curvature over the 11-point row window and the occlusion / range /
+  parallel-beam masks are fully vectorized sweeps over the (H, W) grid
+  (the reference runs serial per-row loops);
+* per-(row, block) feature selection — take up to 20 highest-curvature
+  edge and 20 lowest-curvature surf points with +-5-column greedy
+  suppression — is a rank-ordered ``lax.fori_loop``: one step per
+  curvature rank, vectorized across all H*6 blocks at once.  Blocks are
+  independent (see features_reference.py for the spec, which both twins
+  implement);
+* outputs are fixed-capacity, valid-first compacted point arrays — the
+  static-shape contract every downstream op (odometry association, VGICP)
+  relies on.
+
+The numpy twin (features_reference.py) is the golden reference, mirroring
+the reference repo's CUDA-vs-CPU parity testing (test/cuda.cpp).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .features_reference import FeatureParams, block_bounds
+
+
+def _shift(x: jax.Array, k: int, fill) -> jax.Array:
+    """x shifted so out[v] = x[v + k] along the last axis, edge-filled."""
+    if k == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (abs(k),), fill, x.dtype)
+    if k > 0:
+        return jnp.concatenate([x[..., k:], pad], axis=-1)
+    return jnp.concatenate([pad, x[..., :k]], axis=-1)
+
+
+def curvature_and_ranges(cloud: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """cloud: (H, W, 3) f32.  Returns (curvature, ranges), both (H, W);
+    curvature is +inf outside the valid column band [5, W-6)."""
+    H, W = cloud.shape[:2]
+    window = jnp.zeros_like(cloud)
+    for o in range(-5, 6):
+        window = window + _shift(cloud.swapaxes(-1, -2), -o, 0.0).swapaxes(-1, -2)
+    diff = window - 11.0 * cloud
+    curv = jnp.sum(diff * diff, axis=-1)
+    cols = jnp.arange(W)
+    band = (cols >= 5) & (cols < W - 6)
+    curv = jnp.where(band, curv, jnp.inf)
+    ranges = jnp.linalg.norm(cloud, axis=-1)
+    return curv, ranges
+
+
+def mark_occluded(ranges: jax.Array, p: FeatureParams) -> jax.Array:
+    """(H, W) bool occlusion/range/parallel-beam mask
+    (parity lidar_processing.cpp:136-188, vectorized)."""
+    W = ranges.shape[-1]
+    cols = jnp.arange(W)
+    band = (cols >= 5) & (cols < W - 6)
+    # the reference only ever fills ranges_ inside the band, so the edge
+    # comparisons at v-1 / v+1 see 0 there (lidar_processing.cpp:211)
+    d = jnp.where(band, ranges, 0.0)
+    dn = _shift(d, 1, 0.0)         # d[v+1]
+    dp = _shift(d, -1, 0.0)        # d[v-1]
+
+    picked = band & ((d < p.min_distance) | (d > p.max_distance))
+    c1 = band & (d - dn > 0.3)     # marks [v-5, v]
+    c2 = band & (dn - d > 0.3)     # marks [v+1, v+6]
+    for k in range(0, 6):
+        picked = picked | _shift(c1, k, False)
+    for k in range(1, 7):
+        picked = picked | _shift(c2, -k, False)
+    parallel = (jnp.abs(dp - d) > 0.02 * d) & (jnp.abs(dn - d) > 0.02 * d)
+    return picked | (band & parallel)
+
+
+def _compact(points: jax.Array, idx: jax.Array, valid: jax.Array,
+             capacity: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Valid-first stable compaction to a fixed capacity."""
+    order = jnp.argsort(~valid, stable=True)
+    take = order[:capacity]
+    return points[take], valid[take][:capacity], idx[take]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "edge_capacity", "surf_capacity"))
+def extract_features(cloud: jax.Array, *, params: FeatureParams = FeatureParams(),
+                     edge_capacity: int = 2048, surf_capacity: int = 4096):
+    """Full feature stage on device.
+
+    cloud: (H, W, 3) f32 meters, organized OS1 scan, invalid rays (0,0,0).
+    Returns (edge_pts, edge_mask, surf_pts, surf_mask) with static shapes
+    (edge_capacity, 3) / (surf_capacity, 3), valid-first.
+    """
+    H, W = cloud.shape[:2]
+    bounds = block_bounds(W)
+    nb = len(bounds)
+    BLK = max(ep - sp for sp, ep in bounds)
+    LOC = BLK + 10                       # block-local columns sp-5 .. sp+BLK+4
+
+    curv, ranges = curvature_and_ranges(cloud)
+    picked = mark_occluded(ranges, params)
+
+    sps = jnp.asarray([sp for sp, _ in bounds])                    # (nb,)
+    lens = jnp.asarray([ep - sp for sp, ep in bounds])             # (nb,)
+    pos_in_block = jnp.arange(BLK)
+    cols = sps[:, None] + pos_in_block[None, :]                    # (nb, BLK)
+    in_block = pos_in_block[None, :] < lens[:, None]               # (nb, BLK)
+    cols_c = jnp.clip(cols, 0, W - 1)
+
+    bcurv = curv[:, cols_c]                                        # (H, nb, BLK)
+    bvalid = in_block[None] & jnp.isfinite(bcurv)
+
+    # two rank orders (positions within block): padded entries sort last
+    asc_key = jnp.where(bvalid, bcurv, jnp.inf)
+    desc_key = jnp.where(bvalid, -bcurv, jnp.inf)
+    order_asc = jnp.argsort(asc_key, axis=-1, stable=True)         # (H, nb, BLK)
+    order_desc = jnp.argsort(desc_key, axis=-1, stable=True)
+
+    # block-local suppression state, seeded from the occlusion mask
+    loc_cols = sps[:, None] - 5 + jnp.arange(LOC)[None, :]         # (nb, LOC)
+    blocked0 = picked[:, jnp.clip(loc_cols, 0, W - 1)]             # (H, nb, LOC)
+
+    hh = jnp.arange(H)[:, None, None]
+    nn = jnp.arange(nb)[None, :, None]
+
+    def make_pass(order, accept_fn, mark_lo, mark_hi, budget):
+        """One greedy selection pass; returns (blocked, counts, sel)."""
+        def body(r, carry):
+            blocked, count, sel = carry
+            pos = jax.lax.dynamic_index_in_dim(order, r, axis=-1,
+                                               keepdims=False)     # (H, nb)
+            c = jnp.take_along_axis(bcurv, pos[..., None], axis=-1)[..., 0]
+            v = jnp.take_along_axis(bvalid, pos[..., None], axis=-1)[..., 0]
+            hit = jnp.take_along_axis(blocked, pos[..., None] + 5,
+                                      axis=-1)[..., 0]
+            accept = v & accept_fn(c) & ~hit & (count < budget)
+            sel = sel | (accept[..., None]
+                         & (pos_in_block[None, None] == pos[..., None]))
+            offs = jnp.arange(mark_lo, mark_hi)
+            tgt = pos[..., None] + 5 + offs[None, None, :]         # (H, nb, |offs|)
+            blocked = blocked.at[hh, nn, tgt].max(accept[..., None])
+            return blocked, count + accept, sel
+
+        return body
+
+    count0 = jnp.zeros((H, nb), jnp.int32)
+    sel0 = jnp.zeros((H, nb, BLK), bool)
+
+    edge_body = make_pass(order_desc, lambda c: c >= params.edge_threshold,
+                          -5, 5, params.max_edge_per_block)
+    blocked, _, edge_sel = jax.lax.fori_loop(
+        0, BLK, edge_body, (blocked0, count0, sel0))
+    surf_body = make_pass(order_asc, lambda c: c <= params.surf_threshold,
+                          -5, 6, params.max_surf_per_block)
+    _, _, surf_sel = jax.lax.fori_loop(
+        0, BLK, surf_body, (blocked, count0, sel0))
+
+    flat_idx = (jnp.arange(H)[:, None, None] * W + cols_c[None]).reshape(-1)
+    pts = cloud.reshape(-1, 3)[flat_idx]
+    e_pts, e_mask, e_idx = _compact(pts, flat_idx, edge_sel.reshape(-1),
+                                    edge_capacity)
+    s_pts, s_mask, s_idx = _compact(pts, flat_idx, surf_sel.reshape(-1),
+                                    surf_capacity)
+    return (e_pts, e_mask, e_idx), (s_pts, s_mask, s_idx)

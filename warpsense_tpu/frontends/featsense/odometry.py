@@ -1,0 +1,353 @@
+"""Device (XLA/TPU) F-LOAM scan-to-map odometry.
+
+TPU-first re-design of featsense's ``OdomEstimation`` + Ceres stack
+(/root/reference/src/featsense/odom_estimation.cpp,
+ /root/reference/src/featsense/lidar_optimization.cpp):
+
+* the nanoflann kd-trees become one brute-force 5-NN on the MXU — a
+  (queries x map) squared-distance matmul + ``top_k``.  Feature maps are
+  fixed-capacity masked point arrays (the static-shape contract), so the
+  "rebuild the kd-tree every frame" cost disappears entirely;
+* the per-point Ceres problems become batched closed-form fits: 3x3
+  ``eigh`` for the edge line fit (eigenvalue gate lambda_max > 3
+  lambda_mid, odom_estimation.cpp:168-177) and a least-squares plane fit
+  with the 0.2 m inlier gate (odom_estimation.cpp:219-235);
+* Ceres' Huber(0.1)-loss LM solve becomes an IRLS Gauss-Newton over the
+  analytic residual Jacobians (lidar_optimization.cpp:14-80), with the
+  same quaternion-left-increment manifold update
+  (PoseSE3Parameterization::Plus, lidar_optimization.cpp:83-98).  The
+  whole (re-associate -> 4 GN steps) x optimization_count loop runs in ONE
+  jitted function — no per-iteration host round trips;
+* PCL VoxelGrid / CropBox map maintenance becomes sort + segment-mean
+  voxel centroids over the fixed-capacity arrays.
+
+Replicated reference quirk: the surf map is voxel-filtered at
+``edge_resolution`` (odom_estimation.cpp:27-28 binds both leaf sizes to
+edge_resolution) — kept as the default for trajectory parity, overridable
+via ``surf_leaf``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import geometry
+
+
+class FeatureMapState(NamedTuple):
+    """Fixed-capacity world-frame feature map (meters)."""
+    points: jax.Array   # (CAP, 3) f32
+    mask: jax.Array     # (CAP,) bool
+
+
+def empty_map(capacity: int) -> FeatureMapState:
+    return FeatureMapState(points=jnp.zeros((capacity, 3), jnp.float32),
+                           mask=jnp.zeros((capacity,), bool))
+
+
+# ------------------------------------------------------------------ primitives
+
+def knn(query: jax.Array, map_pts: jax.Array, map_mask: jax.Array, k: int):
+    """Brute-force k-NN: (Nq, k) indices + squared distances (MXU matmul).
+
+    Replaces nanoflann::KdTreeFLANN::nearestKSearch
+    (odom_estimation.cpp:143,205)."""
+    d2 = (jnp.sum(query * query, axis=-1)[:, None]
+          - 2.0 * query @ map_pts.T
+          + jnp.sum(map_pts * map_pts, axis=-1)[None, :])
+    d2 = jnp.where(map_mask[None, :], d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return idx, -neg
+
+
+def fit_lines(neighbors: jax.Array, ok: jax.Array):
+    """Edge line fit: (Nq, 5, 3) neighbor sets -> (point_a, point_b, valid).
+
+    Parity odom_estimation.cpp:146-177: centroid, scatter matrix, principal
+    eigenvector; valid when lambda_max > 3 * lambda_mid; line endpoints
+    center +- 0.1 * direction."""
+    center = jnp.mean(neighbors, axis=1)                       # (Nq, 3)
+    zm = neighbors - center[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", zm, zm)                   # (Nq, 3, 3)
+    w, v = jnp.linalg.eigh(cov)                                # ascending
+    direction = v[..., 2]
+    valid = ok & (w[:, 2] > 3.0 * w[:, 1])
+    point_a = center + 0.1 * direction
+    point_b = center - 0.1 * direction
+    return point_a, point_b, valid
+
+
+def fit_planes(neighbors: jax.Array, ok: jax.Array):
+    """Surf plane fit: solve A n = -1, gate on 0.2 m inlier distance.
+
+    Parity odom_estimation.cpp:207-235.  Returns (normal, d, valid)."""
+    A = neighbors                                              # (Nq, 5, 3)
+    # relative jitter: an absolute 1e-9 underflows against f32 entries of
+    # O(10^2), leaving singular systems (coplanar-through-origin sets) that
+    # solve() turns into inf/NaN
+    AtA = jnp.einsum("nki,nkj->nij", A, A)
+    tr = jnp.trace(AtA, axis1=-2, axis2=-1)[:, None, None]
+    AtA = AtA + (1e-6 * tr + 1e-9) * jnp.eye(3)
+    Atb = -jnp.sum(A, axis=1)
+    n = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]          # (Nq, 3)
+    norm = jnp.linalg.norm(n, axis=-1)
+    safe = jnp.maximum(norm, 1e-12)
+    d = 1.0 / safe
+    n = n / safe[:, None]
+    finite = jnp.all(jnp.isfinite(n), axis=-1) & jnp.isfinite(d)
+    n = jnp.where(finite[:, None], n, 0.0)
+    d = jnp.where(finite, d, 0.0)
+    resid = jnp.abs(jnp.einsum("nki,ni->nk", A, n) + d[:, None])
+    valid = ok & finite & (norm > 1e-12) & jnp.all(resid <= 0.2, axis=1)
+    return n, d, valid
+
+
+def edge_residuals(q, t, pts, point_a, point_b, valid):
+    """Point-to-line residual + analytic Jacobian wrt (omega, upsilon).
+
+    Parity EdgeAnalyticCostFunction (lidar_optimization.cpp:14-45)."""
+    lp = geometry.quat_rotate(q, pts) + t
+    nu = jnp.cross(lp - point_a, lp - point_b)
+    de = point_a - point_b
+    de_norm = jnp.linalg.norm(de, axis=-1)
+    nu_norm = jnp.linalg.norm(nu, axis=-1)
+    safe_de = jnp.maximum(de_norm, 1e-12)
+    safe_nu = jnp.maximum(nu_norm, 1e-12)
+    r = nu_norm / safe_de
+    # J = -nu^T/|nu| @ skew(de) @ [-skew(lp) | I] / |de|.  With the identity
+    # a^T skew(b) = (a x b)^T:  dr/dlp = -(nhat x de)^T / |de| =: row/|de|,
+    # and row^T (-skew(lp)) = (lp x row)^T.
+    nhat = nu / safe_nu[:, None]
+    row = -jnp.cross(nhat, de)
+    J_rot = jnp.cross(lp, row)
+    J = jnp.concatenate([J_rot, row], axis=-1) / safe_de[:, None]
+    # where-mask (not multiply): 0 * NaN from degenerate invalid rows is NaN
+    return (jnp.where(valid, r, 0.0),
+            jnp.where(valid[:, None], J, 0.0))
+
+
+def surf_residuals(q, t, pts, normal, d, valid):
+    """Point-to-plane residual + analytic Jacobian.
+
+    Parity SurfNormAnalyticCostFunction (lidar_optimization.cpp:56-80)."""
+    pw = geometry.quat_rotate(q, pts) + t
+    r = jnp.einsum("ni,ni->n", normal, pw) + d
+    # J = n^T [-skew(pw) | I];  n^T(-skew(pw)) = -(n x pw)^T = (pw x n)^T
+    J_rot = jnp.cross(pw, normal)
+    J = jnp.concatenate([J_rot, normal], axis=-1)
+    return (jnp.where(valid, r, 0.0),
+            jnp.where(valid[:, None], J, 0.0))
+
+
+def _huber_weights(r: jax.Array, delta: float) -> jax.Array:
+    a = jnp.abs(r)
+    return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-12))
+
+
+def gn_step(q, t, r, J, delta: float = 0.1, damping: float = 1e-6):
+    """One Huber-IRLS Gauss-Newton step on the se3 left increment."""
+    w = _huber_weights(r, delta)
+    Jw = J * w[:, None]
+    H = Jw.T @ J                                              # (6, 6) MXU
+    g = Jw.T @ r
+    count = jnp.sum((jnp.sum(jnp.abs(J), axis=-1) > 0).astype(jnp.float32))
+    ok = count >= 6.0
+    A = H + damping * jnp.eye(6, dtype=jnp.float32)
+    A = jnp.where(ok, A, jnp.eye(6, dtype=jnp.float32))
+    dx = jnp.where(ok, jnp.linalg.solve(A, -g), jnp.zeros(6, jnp.float32))
+    dq, dt = geometry.se3_exp(dx)
+    # manifold plus (lidar_optimization.cpp:83-98): q <- dq*q, t <- dq*t + dt
+    q_new = geometry.quat_mul(dq, q)
+    q_new = q_new / jnp.linalg.norm(q_new)
+    t_new = geometry.quat_rotate(dq, t[None, :])[0] + dt
+    return q_new, t_new
+
+
+# ------------------------------------------------------------- voxel centroid
+
+def voxel_downsample(points: jax.Array, mask: jax.Array, leaf: float,
+                     capacity: int):
+    """PCL-VoxelGrid-style centroid downsample on fixed-shape arrays.
+
+    Returns (points (capacity, 3), mask (capacity,)).
+    Replaces downSizeFilterEdge/Surf (odom_estimation.cpp:118-127)."""
+    N = points.shape[0]
+    key = jnp.floor(points / leaf).astype(jnp.int32)
+    big = jnp.int32(2 ** 24)
+    kx = jnp.where(mask, key[:, 0], big)
+    ky = jnp.where(mask, key[:, 1], big)
+    kz = jnp.where(mask, key[:, 2], big)
+    order = jnp.lexsort((kz, ky, kx))
+    sk = jnp.stack([kx, ky, kz], axis=-1)[order]               # (N, 3)
+    sp = points[order]
+    sm = mask[order]
+    new_group = jnp.concatenate([
+        jnp.ones((1,), bool),
+        jnp.any(sk[1:] != sk[:-1], axis=-1)])
+    gid = jnp.cumsum(new_group) - 1                            # (N,)
+    wf = sm.astype(jnp.float32)
+    sums = jax.ops.segment_sum(sp * wf[:, None], gid, num_segments=N)
+    cnts = jax.ops.segment_sum(wf, gid, num_segments=N)
+    centroid = sums / jnp.maximum(cnts, 1.0)[:, None]
+    vmask = cnts > 0.0
+    ordv = jnp.argsort(~vmask, stable=True)[:capacity]
+    return centroid[ordv], vmask[ordv]
+
+
+def merge_map(map_state: FeatureMapState, new_pts: jax.Array,
+              new_mask: jax.Array, center: jax.Array, *, crop: float,
+              leaf: float) -> FeatureMapState:
+    """Append world-frame points, crop +-crop meters around ``center``,
+    voxel-centroid downsample back into the fixed capacity
+    (addPointsToMap, odom_estimation.cpp:255-296)."""
+    cap = map_state.points.shape[0]
+    pts = jnp.concatenate([map_state.points, new_pts])
+    msk = jnp.concatenate([map_state.mask, new_mask])
+    inside = jnp.all(jnp.abs(pts - center[None, :]) <= crop, axis=-1)
+    p, m = voxel_downsample(pts, msk & inside, leaf, cap)
+    return FeatureMapState(points=p, mask=m)
+
+
+# ------------------------------------------------------------ jitted odometry
+
+@functools.partial(jax.jit, static_argnames=("inner_iters",))
+def odom_update(edge_map: FeatureMapState, surf_map: FeatureMapState,
+                edge_pts: jax.Array, edge_mask: jax.Array,
+                surf_pts: jax.Array, surf_mask: jax.Array,
+                q0: jax.Array, t0: jax.Array, opt_count: jax.Array,
+                *, inner_iters: int = 4):
+    """(re-associate -> ``inner_iters`` GN steps) x ``opt_count``, one jit.
+
+    Scan features are in the SENSOR frame; maps in world frame (meters).
+    Returns the refined (q, t)."""
+
+    def outer(carry, _):
+        q, t, i = carry
+
+        def associate_and_solve(q, t):
+            ew = geometry.quat_rotate(q, edge_pts) + t
+            eidx, ed2 = knn(ew, edge_map.points, edge_map.mask, 5)
+            e_ok = edge_mask & (ed2[:, 4] < 1.0)
+            pa, pb, e_valid = fit_lines(edge_map.points[eidx], e_ok)
+
+            sw = geometry.quat_rotate(q, surf_pts) + t
+            sidx, sd2 = knn(sw, surf_map.points, surf_map.mask, 5)
+            s_ok = surf_mask & (sd2[:, 4] < 1.0)
+            nrm, d, s_valid = fit_planes(surf_map.points[sidx], s_ok)
+
+            def inner(carry2, _):
+                q, t = carry2
+                re, Je = edge_residuals(q, t, edge_pts, pa, pb, e_valid)
+                rs, Js = surf_residuals(q, t, surf_pts, nrm, d, s_valid)
+                r = jnp.concatenate([re, rs])
+                J = jnp.concatenate([Je, Js])
+                return gn_step(q, t, r, J), None
+
+            (q, t), _ = jax.lax.scan(inner, (q, t), None, length=inner_iters)
+            return q, t
+
+        q, t = jax.lax.cond(i < opt_count, associate_and_solve,
+                            lambda q, t: (q, t), q, t)
+        return (q, t, i + 1), None
+
+    max_outer = 20  # initMapWithPoints bootstrap count (odom_estimation.cpp:46)
+    (q, t, _), _ = jax.lax.scan(outer, (q0, t0, jnp.int32(0)), None,
+                                length=max_outer)
+    return q, t
+
+
+# --------------------------------------------------------------- host shell
+
+class OdomEstimation:
+    """Host orchestration mirroring the reference class: constant-velocity
+    prediction, bootstrap init, jitted solve, map maintenance."""
+
+    def __init__(self, *, edge_map_capacity: int = 8192,
+                 surf_map_capacity: int = 16384, edge_leaf: float = 0.4,
+                 surf_leaf: float | None = None, optimization_steps: int = 3,
+                 crop: float = 100.0, inner_iters: int = 4):
+        # reference quirk: surf leaf defaults to the EDGE resolution
+        # (odom_estimation.cpp:27-28)
+        self.edge_leaf = float(edge_leaf)
+        self.surf_leaf = float(surf_leaf if surf_leaf is not None else edge_leaf)
+        self.optimization_steps = int(optimization_steps)
+        self.crop = float(crop)
+        self.inner_iters = int(inner_iters)
+        self.edge_map = empty_map(edge_map_capacity)
+        self.surf_map = empty_map(surf_map_capacity)
+        self.odom = np.eye(4, dtype=np.float64)
+        self.last_odom = np.eye(4, dtype=np.float64)
+        self.optimization_count = 2
+        self.initialized = False
+
+    # -- helpers ------------------------------------------------------------
+    def _pose_qt(self):
+        q = np.asarray(geometry.mat_to_quat(
+            jnp.asarray(self.odom[:3, :3], jnp.float32)))
+        t = self.odom[:3, 3].astype(np.float32)
+        return jnp.asarray(q), jnp.asarray(t)
+
+    def _set_pose(self, q, t):
+        R = np.asarray(geometry.quat_to_mat(q), dtype=np.float64)
+        self.odom = np.eye(4)
+        self.odom[:3, :3] = R
+        self.odom[:3, 3] = np.asarray(t, dtype=np.float64)
+
+    def _downsample_scan(self, pts, mask, leaf):
+        return voxel_downsample(pts, mask, leaf, pts.shape[0])
+
+    def _world(self, q, t, pts):
+        return geometry.quat_rotate(q, pts) + t
+
+    # -- main entry (updatePointsToMap, odom_estimation.cpp:50-105) ----------
+    def update(self, edge_pts, edge_mask, surf_pts, surf_mask) -> np.ndarray:
+        """One scan of sensor-frame features -> new world pose (4x4 f64)."""
+        edge_pts = jnp.asarray(edge_pts, jnp.float32)
+        surf_pts = jnp.asarray(surf_pts, jnp.float32)
+        edge_mask = jnp.asarray(edge_mask)
+        surf_mask = jnp.asarray(surf_mask)
+
+        if not self.initialized:
+            q, t = self._pose_qt()
+            self._absorb(q, t, edge_pts, edge_mask, surf_pts, surf_mask)
+            self.optimization_count = 20
+            self.initialized = True
+            return self.odom.copy()
+
+        if self.optimization_count > self.optimization_steps:
+            self.optimization_count -= 1
+
+        # constant-velocity prediction (odom_estimation.cpp:59-61)
+        prediction = self.odom @ (np.linalg.inv(self.last_odom) @ self.odom)
+        self.last_odom = self.odom.copy()
+        self.odom = prediction
+
+        d_edge, m_edge = self._downsample_scan(edge_pts, edge_mask,
+                                               self.edge_leaf)
+        d_surf, m_surf = self._downsample_scan(surf_pts, surf_mask,
+                                               self.surf_leaf)
+
+        q, t = self._pose_qt()
+        n_edge = int(np.asarray(jnp.sum(self.edge_map.mask)))
+        n_surf = int(np.asarray(jnp.sum(self.surf_map.mask)))
+        if n_edge > 10 and n_surf > 50:
+            q, t = odom_update(self.edge_map, self.surf_map,
+                               d_edge, m_edge, d_surf, m_surf, q, t,
+                               jnp.int32(self.optimization_count),
+                               inner_iters=self.inner_iters)
+        self._set_pose(np.asarray(q), np.asarray(t))
+        self._absorb(q, t, d_edge, m_edge, d_surf, m_surf)
+        return self.odom.copy()
+
+    def _absorb(self, q, t, edge_pts, edge_mask, surf_pts, surf_mask):
+        center = jnp.asarray(np.asarray(t), jnp.float32)
+        self.edge_map = merge_map(self.edge_map, self._world(q, t, edge_pts),
+                                  edge_mask, center, crop=self.crop,
+                                  leaf=self.edge_leaf)
+        self.surf_map = merge_map(self.surf_map, self._world(q, t, surf_pts),
+                                  surf_mask, center, crop=self.crop,
+                                  leaf=self.surf_leaf)
