@@ -1,0 +1,114 @@
+"""IO layer: PCD/PLY round trips, TUM trajectories, ATE, viz exports."""
+import numpy as np
+import pytest
+
+from warpsense_tpu.io import pcd
+from warpsense_tpu.io import trajectory as traj
+from warpsense_tpu.io.dataset import PcdDirectoryDataset, SyntheticDataset
+from warpsense_tpu.io.pcl_writer import export
+
+
+def _cloud(n=257, seed=0):
+    return np.random.default_rng(seed).normal(0, 5, (n, 3)).astype(np.float32)
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_pcd_roundtrip(tmp_path, binary):
+    c = _cloud()
+    pcd.write_pcd(tmp_path / "a.pcd", c, binary=binary)
+    got = pcd.read_pcd(tmp_path / "a.pcd")
+    np.testing.assert_allclose(got[:, :3], c, atol=1e-5)
+
+
+@pytest.mark.parametrize("binary", [True, False])
+@pytest.mark.parametrize("with_colors", [True, False])
+def test_ply_roundtrip(tmp_path, binary, with_colors):
+    c = _cloud(101)
+    colors = (np.random.default_rng(1).uniform(0, 255, (101, 3))
+              .astype(np.uint8) if with_colors else None)
+    pcd.write_ply(tmp_path / "a.ply", c, colors, binary=binary)
+    got = pcd.read_ply(tmp_path / "a.ply")
+    np.testing.assert_allclose(got, c, atol=1e-5)
+
+
+def test_pcd_intensity_column(tmp_path):
+    c = np.concatenate([_cloud(64), np.ones((64, 1), np.float32)], axis=1)
+    pcd.write_pcd(tmp_path / "i.pcd", c)
+    got = pcd.read_pcd(tmp_path / "i.pcd")
+    assert got.shape == (64, 4)
+    np.testing.assert_allclose(got, c, atol=1e-5)
+
+
+def _poses(n=10, seed=2):
+    rng = np.random.default_rng(seed)
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    for i in range(n):
+        th = rng.uniform(-0.5, 0.5)
+        c, s = np.cos(th), np.sin(th)
+        poses[i][:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        poses[i][:3, 3] = rng.uniform(-10, 10, 3)
+    return poses
+
+
+def test_tum_roundtrip(tmp_path):
+    poses = _poses()
+    traj.write_tum(tmp_path / "t.tum", poses)
+    stamps, got = traj.read_tum(tmp_path / "t.tum")
+    assert len(stamps) == len(poses)
+    np.testing.assert_allclose(got, poses, atol=1e-4)
+
+
+def test_ate_zero_for_identical():
+    poses = _poses()
+    assert traj.ate_rmse(poses, poses) < 1e-9
+
+
+def test_ate_alignment_removes_rigid_offset():
+    poses = _poses()
+    T = np.eye(4)
+    th = 0.3
+    T[:3, :3] = [[np.cos(th), -np.sin(th), 0],
+                 [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    T[:3, 3] = [5.0, -2.0, 1.0]
+    moved = np.einsum("ij,njk->nik", T, poses)
+    assert traj.ate_rmse(moved, poses, align=False) > 1.0
+    assert traj.ate_rmse(moved, poses, align=True) < 1e-6
+
+
+def test_synthetic_dataset_and_export_roundtrip(tmp_path):
+    ds = SyntheticDataset(3, channels=8, columns=64)
+    n = export(ds, tmp_path / "clouds", "pcd")
+    assert n == 3
+    back = PcdDirectoryDataset(tmp_path / "clouds",
+                               tum_ground_truth=tmp_path / "clouds"
+                               / "ground_truth.tum")
+    frames = list(back)
+    assert len(frames) == 3
+    assert frames[0].cloud.shape[1] == 3
+    assert frames[0].ground_truth is not None
+
+
+def test_tsdf_viz_export(tmp_path):
+    import jax.numpy as jnp
+
+    from warpsense_tpu.map.local_map import LocalMapState
+    from warpsense_tpu.obs.viz import export_tsdf_ply, window_skeleton
+
+    size = (11, 11, 11)
+    value = np.full(size, 600, np.int16)
+    weight = np.zeros(size, np.int16)
+    value[5, 5, 5] = 30
+    weight[5, 5, 5] = 64
+    value[2, 3, 4] = -100
+    weight[2, 3, 4] = 32
+    state = LocalMapState(jnp.asarray(value), jnp.asarray(weight),
+                          jnp.zeros(3, jnp.int32),
+                          jnp.asarray([5, 5, 5], jnp.int32))
+    n = export_tsdf_ply(tmp_path / "map.ply", state, resolution=64, tau=600)
+    assert n == 2
+    from warpsense_tpu.io.pcd import read_ply
+    pts = read_ply(tmp_path / "map.ply")
+    # cell (5,5,5) array == global (0,0,0) (pos=0, offset=center)
+    assert any(np.allclose(p, [0.032, 0.032, 0.032], atol=1e-5) for p in pts)
+    sk = window_skeleton(state, resolution=64)
+    assert sk.shape[1] == 3 and len(sk) == 12 * 32
