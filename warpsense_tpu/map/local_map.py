@@ -92,6 +92,8 @@ class LocalMap:
         self.global_map = global_map
         self.state = create_state(self.size, global_map.default_value,
                                   global_map.default_weight, xp=np)
+        from ..native import load as _load_native
+        self._native = _load_native()
 
     # numpy twins of the pure functions ------------------------------------
     def _coords(self, p: np.ndarray) -> np.ndarray:
@@ -127,15 +129,48 @@ class LocalMap:
             axes.append(((rng - pos[i] + off[i]) % self.size[i]).astype(np.int64))
         return np.ix_(*axes)
 
+    def _native_args(self, start, end, raw):
+        import ctypes
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        size = np.asarray(self.size, np.int32)
+        pos = np.asarray(self.state.pos, np.int32)
+        off = np.asarray(self.state.offset, np.int32)
+        start = np.ascontiguousarray(start, np.int64)
+        end = np.ascontiguousarray(end, np.int64)
+        return (self.state.value.ctypes.data_as(i16p),
+                self.state.weight.ctypes.data_as(i16p),
+                size.ctypes.data_as(i32p), pos.ctypes.data_as(i32p),
+                off.ctypes.data_as(i32p), start.ctypes.data_as(i64p),
+                end.ctypes.data_as(i64p), raw.ctypes.data_as(u32p),
+                (size, pos, off, start, end))  # keep temporaries alive
+
     def _save_area(self, start, end) -> None:
-        ix = self._area_array_index(np.asarray(start), np.asarray(end))
+        start = np.asarray(start, np.int64)
+        end = np.asarray(end, np.int64)
+        if self._native is not None:
+            raw = np.empty(tuple((end - start + 1).tolist()), np.uint32)
+            *args, keep = self._native_args(start, end, raw)
+            self._native.ws_ring_gather(*args)
+            self.global_map.write_area(start, raw)
+            return
+        ix = self._area_array_index(start, end)
         self.global_map.write_area(
             np.asarray(start), pack(self.state.value[ix], self.state.weight[ix]))
 
     def _load_area(self, start, end) -> None:
-        raw = self.global_map.read_area(np.asarray(start), np.asarray(end))
+        start = np.asarray(start, np.int64)
+        end = np.asarray(end, np.int64)
+        raw = self.global_map.read_area(start, end)
+        if self._native is not None:
+            raw = np.ascontiguousarray(raw, np.uint32)
+            *args, keep = self._native_args(start, end, raw)
+            self._native.ws_ring_scatter(*args)
+            return
         v, w = unpack(raw)
-        ix = self._area_array_index(np.asarray(start), np.asarray(end))
+        ix = self._area_array_index(start, end)
         self.state.value[ix] = v
         self.state.weight[ix] = w
 

@@ -59,3 +59,40 @@ def preprocess(points_m: jax.Array, valid: jax.Array, pose: jax.Array, *,
 
     transformed = transform_point_fixed(out_pts, to_int_mat(pose))
     return jnp.where(out_mask[:, None], transformed, 0), out_mask
+
+
+def preprocess_host(points_m, *, resolution: int, capacity: int,
+                    near_limit_m: float = 0.3):
+    """Host-side preprocessing twin (native C++ when built, numpy fallback).
+
+    Same mm-scale -> voxel-center snap -> dedup -> near filter as the
+    device op, WITHOUT the pose transform (the caller applies it, or feeds
+    the centers straight to the device).  Returns (points (capacity, 3)
+    int32 mm, mask (capacity,)).  Used by data-loader threads to shrink
+    host->device transfers to the dedup'd cloud.
+    """
+    import numpy as np
+
+    from ..native import load as _load_native
+
+    pts = np.ascontiguousarray(points_m, dtype=np.float32).reshape(-1, 3)
+    out = np.zeros((capacity, 3), dtype=np.int32)
+    lib = _load_native()
+    if lib is not None:
+        import ctypes
+        n = lib.ws_preprocess(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pts),
+            int(resolution), float(near_limit_m),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), capacity)
+        n = int(n)
+    else:
+        keep = np.any(pts != 0.0, axis=1) & ~np.all(pts < near_limit_m, axis=1)
+        mm = np.round(pts[keep] * 1000.0).astype(np.int64)
+        vox = np.floor_divide(mm, resolution)
+        _, first = np.unique(vox, axis=0, return_index=True)
+        vox = vox[np.sort(first)][:capacity]
+        n = len(vox)
+        out[:n] = vox * resolution + resolution // 2
+    mask = np.zeros((capacity,), bool)
+    mask[:n] = True
+    return out, mask
