@@ -1,0 +1,136 @@
+"""Projective TSDF fusion vs the ray-march twin."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from warpsense_tpu.core.consts import MATRIX_RESOLUTION, WEIGHT_RESOLUTION
+from warpsense_tpu.io.synthetic import BoxWorld, render_scan
+from warpsense_tpu.map.local_map import LocalMapState, create_state
+from warpsense_tpu.ops.preprocess import preprocess_host
+from warpsense_tpu.ops.tsdf import plan_raymarch, tsdf_update
+from warpsense_tpu.ops.tsdf_projective import (build_beam_table,
+                                               tsdf_update_projective)
+
+TAU = 600
+RES = 64
+SIZE = (161, 161, 81)
+CHANNELS, COLUMNS, VFOV = 32, 512, 45.0
+
+
+def _scan_points(seed=0, cap=16384):
+    rng = np.random.default_rng(seed)
+    scan = render_scan(BoxWorld.default(), np.eye(4), channels=CHANNELS,
+                       columns=COLUMNS, vfov_deg=VFOV, noise_std=0.002,
+                       rng=rng)
+    pts, mask = preprocess_host(scan.reshape(-1, 3), resolution=RES,
+                                capacity=cap)
+    return jnp.asarray(pts), jnp.asarray(mask)
+
+
+def _fresh():
+    return create_state(SIZE, TAU, 0, xp=jnp)
+
+
+def test_beam_table_nearest_return():
+    pts = jnp.asarray([[5000, 0, 0], [9000, 0, 0],      # same beam, 5m & 9m
+                       [0, 5000, 0]], jnp.int32)
+    mask = jnp.ones((3,), bool)
+    rng_tab, endpoint = build_beam_table(
+        pts, mask, jnp.zeros(3, jnp.int32), jnp.eye(3, dtype=jnp.float32),
+        channels=CHANNELS, columns=COLUMNS, vfov_deg=VFOV)
+    hit = np.isfinite(np.asarray(rng_tab))
+    assert hit.sum() == 2                                # two distinct beams
+    eps = np.asarray(endpoint)[hit]
+    # the +x beam must keep the NEAR return (5 m)
+    assert any(np.allclose(e, [5000, 0, 0], atol=1) for e in eps)
+    assert not any(np.allclose(e, [9000, 0, 0], atol=1) for e in eps)
+
+
+def test_projective_matches_raymarch_statistically():
+    pts, mask = _scan_points()
+    up = jnp.asarray([0, 0, MATRIX_RESOLUTION], jnp.int32)
+    ms, mi = plan_raymarch(TAU, RES, 12000, CHANNELS, VFOV)
+
+    ray = tsdf_update(_fresh(), pts, mask, jnp.zeros(3, jnp.int32), up,
+                      size=SIZE, tau=TAU, max_weight=32 * WEIGHT_RESOLUTION,
+                      resolution=RES, max_steps=ms, max_isteps=mi,
+                      channels=CHANNELS, vfov_deg=VFOV)
+    proj = tsdf_update_projective(
+        _fresh(), pts, mask, jnp.zeros(3, jnp.int32),
+        jnp.eye(3, dtype=jnp.float32), size=SIZE, tau=TAU,
+        max_weight=32 * WEIGHT_RESOLUTION, resolution=RES,
+        channels=CHANNELS, columns=COLUMNS, vfov_deg=VFOV)
+
+    rv = np.asarray(ray.value, np.int32)
+    rw = np.asarray(ray.weight, np.int32)
+    pv = np.asarray(proj.value, np.int32)
+    pw = np.asarray(proj.weight, np.int32)
+
+    r_occ = rw != 0
+    p_occ = pw != 0
+    both = r_occ & p_occ
+    # coverage: the two formulations quantize ray footprints differently,
+    # but the bulk of the fused volume must coincide
+    jaccard = both.sum() / max((r_occ | p_occ).sum(), 1)
+    assert jaccard > 0.6, f"occupancy jaccard {jaccard:.3f}"
+    # where both fused, values must agree closely (same signed distances)
+    # the march keeps min-|v| over ALL rays crossing a cell; projective
+    # reads the single nearest beam — sub-half-voxel value differences
+    mad = np.abs(rv[both] - pv[both]).mean()
+    assert mad < 0.35 * RES, f"value MAD {mad:.1f} mm"
+    # sign must agree wherever the cell is clearly on one side of the
+    # surface (|v| > res/2; straddling cells flip on quantization alone)
+    clear = both & (np.abs(rv) > RES // 2)
+    sign_agree = np.mean(np.sign(rv[clear]) == np.sign(pv[clear]))
+    assert sign_agree > 0.97, f"sign agreement {sign_agree:.3f}"
+
+
+def test_projective_surface_zero_crossing():
+    """Wall at x=+4 m: TSDF along +x must cross zero at the wall."""
+    pts, mask = _scan_points(seed=1)
+    proj = tsdf_update_projective(
+        _fresh(), pts, mask, jnp.zeros(3, jnp.int32),
+        jnp.eye(3, dtype=jnp.float32), size=SIZE, tau=TAU,
+        max_weight=32 * WEIGHT_RESOLUTION, resolution=RES,
+        channels=CHANNELS, columns=COLUMNS, vfov_deg=VFOV)
+    v = np.asarray(proj.value, np.int32)
+    w = np.asarray(proj.weight, np.int32)
+    # walk from the scanner toward the first pillar (x 2..2.6, y 1..1.6 m,
+    # BoxWorld.default): TSDF must be positive in front, negative behind,
+    # crossing zero at the front face (|p| ~ 2.4 m along this bearing)
+    c = np.asarray([SIZE[0] // 2, SIZE[1] // 2, SIZE[2] // 2])
+    target = np.array([2.3, 1.3, 0.0])
+    direction = target / np.linalg.norm(target)
+    ts = np.arange(0.2, 4.5, 0.032)            # meters, half-voxel steps
+    cells = np.unique(
+        (c + np.floor(ts[:, None] * direction * 1000.0 / RES)).astype(int),
+        axis=0)
+    # re-order along the bearing
+    cells = cells[np.argsort(np.linalg.norm((cells - c) * RES, axis=1))]
+    line_v = v[cells[:, 0], cells[:, 1], cells[:, 2]]
+    line_w = w[cells[:, 0], cells[:, 1], cells[:, 2]]
+    fused = line_w != 0
+    assert fused.sum() > 10
+    signs = np.sign(line_v[fused])
+    assert signs[0] > 0
+    assert (signs < 0).any()
+    flip_dist = np.linalg.norm(
+        (cells[fused][np.argmax(signs < 0)] - c) * RES) / 1000.0
+    front = np.linalg.norm([2.0 * 2.3 / 2.6, 1.3 * 2.0 / 2.3, 0])  # ~face
+    assert 1.9 <= flip_dist <= 2.9, f"zero crossing at {flip_dist:.2f} m"
+
+
+def test_projective_weight_drop_behind_surface():
+    pts, mask = _scan_points(seed=2)
+    proj = tsdf_update_projective(
+        _fresh(), pts, mask, jnp.zeros(3, jnp.int32),
+        jnp.eye(3, dtype=jnp.float32), size=SIZE, tau=TAU,
+        max_weight=32 * WEIGHT_RESOLUTION, resolution=RES,
+        channels=CHANNELS, columns=COLUMNS, vfov_deg=VFOV)
+    v = np.asarray(proj.value, np.int32)
+    w = np.asarray(proj.weight, np.int32)
+    deep = v < -TAU // 10
+    assert deep.any()
+    # weights behind the surface drop linearly and never exceed the base
+    assert (np.abs(w[deep]) < WEIGHT_RESOLUTION).all()
+    assert (np.abs(w[deep & (w != 0)]) > 0).all()

@@ -57,6 +57,9 @@ class RegistrationParams:
     imu_topic: str = "/ouster/imu"
     link: str = "base_link"
     epsilon: float = 0.03
+    # GN stepping: "parity" = the reference's un-normalized creep steps;
+    # "fast" = true Gauss-Newton (see ops/registration.register_cloud)
+    mode: str = "parity"
 
 
 @dataclass

@@ -34,7 +34,7 @@ def default_params(channels: int, columns: int) -> Params:
                   "edge_resolution": 0.15, "optimization_steps": 3,
                   "enrich": 4, "vgicp_fitness_score": 6.0},
         "registration": {"max_iterations": 200, "epsilon": 0.03,
-                         "it_weight_gradient": 0.1},
+                         "it_weight_gradient": 0.1, "mode": "fast"},
         "lidar": {"channels": channels, "hresolution": columns},
     })
 

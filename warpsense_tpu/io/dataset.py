@@ -19,7 +19,7 @@ from typing import Iterator
 import numpy as np
 
 from .pcd import read_pcd, read_ply
-from .synthetic import BoxWorld, circular_trajectory, render_scan
+from .synthetic import BoxWorld, render_scan, walk_trajectory
 from .trajectory import read_tum
 
 
@@ -40,7 +40,7 @@ class SyntheticDataset:
                  seed: int = 0):
         self.world = world or BoxWorld.default()
         self.poses = (poses if poses is not None
-                      else circular_trajectory(n_frames))
+                      else walk_trajectory(n_frames))
         self.channels = channels
         self.columns = columns
         self.dt = 1.0 / rate_hz

@@ -142,3 +142,23 @@ def imu_stream_for(poses_mm: np.ndarray, scan_dt: float, imu_rate: int = 100):
             samples.append(ImuSample(stamp=t0 + (k + 1) * scan_dt / steps,
                                      angular_velocity=w.copy()))
     return samples
+
+
+def walk_trajectory(n_poses: int, *, step_m: float = 0.12,
+                    yaw_rate: float = 0.03, z: float = 0.3) -> np.ndarray:
+    """(n, 4, 4) poses walking forward with a slow turn — per-frame motion
+    consistent with a 10-20 Hz sensor (the circular trajectory distributes
+    a FULL circle over n poses, which at small n means unregistrable
+    inter-frame jumps; this one keeps the step fixed)."""
+    poses = np.zeros((n_poses, 4, 4), dtype=np.float64)
+    pos = np.zeros(3)
+    pos[2] = z
+    yaw = 0.0
+    for i in range(n_poses):
+        c, s = np.cos(yaw), np.sin(yaw)
+        poses[i] = np.eye(4)
+        poses[i][:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        poses[i][:3, 3] = pos
+        pos = pos + np.array([c, s, 0.0]) * step_m
+        yaw += yaw_rate
+    return poses

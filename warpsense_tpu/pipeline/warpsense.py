@@ -31,8 +31,9 @@ from ..map.global_map import GlobalMap
 from ..map.local_map import LocalMap
 from ..obs.profiler import RuntimeEvaluator
 from ..ops.preprocess import preprocess
-from ..ops.registration import register_cloud
+from ..ops.registration import precompute_fields, register_cloud_fields
 from ..ops.tsdf import plan_raymarch, tsdf_update
+from ..ops.tsdf_projective import tsdf_update_projective
 from ..utils.filter import SlidingWindowFilter
 from ..utils.imu import ImuAccumulator, ImuSample
 from ..utils.ring_buffer import ConcurrentRingBuffer
@@ -53,10 +54,15 @@ class WarpsenseApp:
 
     def __init__(self, params: Params, map_path: str | Path | None = None,
                  capacity: int = 32768, max_range_mm: int = 50000,
-                 profile: bool = False):
+                 profile: bool = False, fusion: str = "projective"):
+        """``fusion``: "projective" (dense gather sweep — the TPU fast
+        path, ops/tsdf_projective.py) or "raymarch" (exact reference
+        semantics, ops/tsdf.py)."""
         self.params = params
         self.capacity = int(capacity)
         self.profile = profile
+        self.fusion = fusion
+        self._fields = None      # cached registration fields (per map epoch)
         m = params.map
         path = Path(map_path) if map_path is not None else m.h5_path()
         self.global_map = GlobalMap(path, m.tau, m.initial_weight, meta={
@@ -145,12 +151,18 @@ class WarpsenseApp:
 
         if prof:
             prof.start("registration")
-        transform = register_cloud(
-            self.state, pts, mask, jnp.asarray(pretransform),
+        if self._fields is None:
+            # recomputed only when the map changed (TSDF update or shift) —
+            # dense bandwidth sweep amortized over all scans in between
+            self._fields = precompute_fields(self.state)
+        transform = register_cloud_fields(
+            self._fields, self.state.pos, self.state.offset, pts, mask,
+            jnp.asarray(pretransform),
             size=self.local_map.size, resolution=m.resolution,
             max_iterations=self.params.registration.max_iterations,
             it_weight_gradient=self.params.registration.it_weight_gradient,
-            epsilon=self.params.registration.epsilon)
+            epsilon=self.params.registration.epsilon,
+            mode=self.params.registration.mode)
         transform = np.asarray(transform)
         if prof:
             prof.stop("registration")
@@ -175,19 +187,30 @@ class WarpsenseApp:
     # -------------------------------------------------------------- internals
     def _update_tsdf(self, pts, mask) -> None:
         m = self.params.map
-        int_rot = to_int_mat(jnp.asarray(self.pose))
-        up = transform_point_fixed(
-            jnp.asarray([0, 0, MATRIX_RESOLUTION], jnp.int32),
-            int_rot.at[:3, 3].set(0))
         scanner_pos = jnp.asarray(
             np.floor(self.pose[:3, 3] / m.resolution).astype(np.int32))
-        self.state = tsdf_update(
-            self.state, pts, mask, scanner_pos, up,
-            size=self.local_map.size, tau=m.tau,
-            max_weight=m.max_weight_scaled, resolution=m.resolution,
-            max_steps=self.max_steps, max_isteps=self.max_isteps,
-            channels=self.params.lidar.channels,
-            vfov_deg=self.params.lidar.vfov)
+        if self.fusion == "projective":
+            self.state = tsdf_update_projective(
+                self.state, pts, mask, scanner_pos,
+                jnp.asarray(self.pose[:3, :3], jnp.float32),
+                size=self.local_map.size, tau=m.tau,
+                max_weight=m.max_weight_scaled, resolution=m.resolution,
+                channels=self.params.lidar.channels,
+                columns=self.params.lidar.hresolution,
+                vfov_deg=self.params.lidar.vfov)
+        else:
+            int_rot = to_int_mat(jnp.asarray(self.pose))
+            up = transform_point_fixed(
+                jnp.asarray([0, 0, MATRIX_RESOLUTION], jnp.int32),
+                int_rot.at[:3, 3].set(0))
+            self.state = tsdf_update(
+                self.state, pts, mask, scanner_pos, up,
+                size=self.local_map.size, tau=m.tau,
+                max_weight=m.max_weight_scaled, resolution=m.resolution,
+                max_steps=self.max_steps, max_isteps=self.max_isteps,
+                channels=self.params.lidar.channels,
+                vfov_deg=self.params.lidar.vfov)
+        self._fields = None      # map changed: registration fields stale
 
     def _maybe_shift(self) -> None:
         """Shift the ring-buffer window once the pose wandered >= map.shift
@@ -203,6 +226,7 @@ class WarpsenseApp:
         self.local_map.shift(new_pos)
         self.state = self.local_map.device_state()
         self.shifted = True
+        self._fields = None      # window moved: registration fields stale
 
     # --------------------------------------------------------------- shutdown
     def terminate(self, csv_path: str | Path | None = None) -> None:
