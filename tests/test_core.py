@@ -120,3 +120,39 @@ def test_identifier_format():
     ident = m.identifier()
     assert "res-64" in ident and "upd_d-0dot25" in ident and "max_d-1dot00" in ident
     assert "map-625x625x390" in ident
+
+
+def test_params_presets_layering():
+    from warpsense_tpu.core.config import Params
+
+    base = Params.preset()
+    assert base.lidar.channels == 128
+    assert base.floam.enrich == 4
+
+    ch = Params.preset("chemnitz_vorplatz")
+    assert ch.floam.enrich == 6
+    assert ch.floam.vgicp_fitness_score == 4.0
+    assert ch.map.size_voxels[0] == 50 * 1000 // 64
+    assert ch.floam.edge_threshold == base.floam.edge_threshold  # inherited
+
+    dk = Params.preset("dreikaiser")
+    assert dk.floam.max_distance == 8.0
+    assert dk.floam.optimization_steps == 5
+
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        Params.preset("nonexistent")
+
+
+def test_csv_wrapper(tmp_path):
+    from warpsense_tpu.obs.csv_wrapper import CSVWrapper
+
+    c = CSVWrapper(tmp_path / "t.csv")
+    c.add_row(a=1, b="x")
+    c.add_row(a=2, b="y")
+    c.add_value("c", 9)
+    c.write()
+    lines = (tmp_path / "t.csv").read_text().strip().splitlines()
+    assert lines[0] == "a,b,c"
+    assert lines[1] == "1,x,9"
+    assert lines[2] == "2,y,"

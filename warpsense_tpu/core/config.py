@@ -140,6 +140,22 @@ class Params:
         )
 
     @staticmethod
+    def preset(name: str | None = None) -> "Params":
+        """Load the packaged defaults plus an optional named dataset
+        override (warpsense_tpu/configs/<name>.yaml) — the reference's
+        params/*.yaml layering without the ROS param server."""
+        configs = Path(__file__).resolve().parent.parent / "configs"
+        paths = [configs / "default.yaml"]
+        if name:
+            override = configs / f"{name}.yaml"
+            if not override.exists():
+                available = sorted(p.stem for p in configs.glob("*.yaml"))
+                raise FileNotFoundError(
+                    f"unknown preset {name!r}; available: {available}")
+            paths.append(override)
+        return Params.from_yaml(*paths)
+
+    @staticmethod
     def from_yaml(*paths: str | Path) -> "Params":
         """Load defaults then apply override files left-to-right
         (replacing the reference's per-dataset YAMLs, params/*.yaml)."""

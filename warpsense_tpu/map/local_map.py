@@ -218,6 +218,16 @@ class LocalMap:
         self._save_area(pos - size // 2, pos + size // 2)
         self.global_map.write_back()
 
+    def load_window(self, pos) -> None:
+        """Center the window on ``pos`` and fill it from the global map —
+        the resume path the reference lacks (it only ever truncates,
+        hdf5_global_map.cpp:5)."""
+        pos = np.asarray(pos, dtype=np.int64)
+        size = np.asarray(self.size, dtype=np.int64)
+        self.state.pos[:] = pos.astype(np.int32)
+        self.state.offset[:] = (size // 2).astype(np.int32)
+        self._load_area(pos - size // 2, pos + size // 2)
+
     # ----------------------------------------------------------- device bridge
     def device_state(self) -> LocalMapState:
         """jnp copy of the state for jitted kernels."""

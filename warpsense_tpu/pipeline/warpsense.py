@@ -54,10 +54,15 @@ class WarpsenseApp:
 
     def __init__(self, params: Params, map_path: str | Path | None = None,
                  capacity: int = 32768, max_range_mm: int = 50000,
-                 profile: bool = False, fusion: str = "projective"):
+                 profile: bool = False, fusion: str = "projective",
+                 resume: bool = False):
         """``fusion``: "projective" (dense gather sweep — the TPU fast
         path, ops/tsdf_projective.py) or "raymarch" (exact reference
-        semantics, ops/tsdf.py)."""
+        semantics, ops/tsdf.py).
+
+        ``resume=True`` reopens an existing map file, reloads the window
+        around the last persisted pose and continues from it — the
+        checkpoint/resume capability the reference lacks (SURVEY §5.4)."""
         self.params = params
         self.capacity = int(capacity)
         self.profile = profile
@@ -65,7 +70,8 @@ class WarpsenseApp:
         self._fields = None      # cached registration fields (per map epoch)
         m = params.map
         path = Path(map_path) if map_path is not None else m.h5_path()
-        self.global_map = GlobalMap(path, m.tau, m.initial_weight, meta={
+        self.global_map = GlobalMap(path, m.tau, m.initial_weight,
+                                    truncate=not resume, meta={
             "tau": m.tau, "map_resolution": m.resolution,
             "max_weight": m.max_weight_scaled,
             "max_distance": m.max_distance,
@@ -73,12 +79,23 @@ class WarpsenseApp:
             "map_size_z": m.size_voxels[2],
         })
         self.local_map = LocalMap(m.size_voxels, self.global_map)
-        self.state = self.local_map.device_state()
 
         self.pose = np.eye(4, dtype=np.float32)  # mm translation
-        self.last_tsdf_pose = np.eye(4, dtype=np.float32)
-        self.last_shift_pose = np.eye(4, dtype=np.float32)
         self.initialized = False
+        if resume:
+            poses = self.global_map.read_poses()
+            if len(poses):
+                from ..io.trajectory import _mat_from_quat
+                last = poses[-1]
+                self.pose[:3, :3] = _mat_from_quat(
+                    last[3:7].astype(np.float64)).astype(np.float32)
+                self.pose[:3, 3] = last[:3] * 1000.0     # stored in meters
+                self.local_map.load_window(
+                    np.floor(self.pose[:3, 3] / m.resolution).astype(np.int64))
+                self.initialized = True
+        self.state = self.local_map.device_state()
+        self.last_tsdf_pose = self.pose.copy()
+        self.last_shift_pose = self.pose.copy()
         self.shifted = False
         self.path: list[np.ndarray] = []
 
