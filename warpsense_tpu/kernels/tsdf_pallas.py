@@ -1,0 +1,245 @@
+"""Pallas TPU kernel: single-pass projective TSDF fusion.
+
+The XLA sweep (ops/tsdf_projective.py) is exact but pays one random gather
+per voxel into the beam table — measured at ~31 ns/element on v5e (latency-
+bound, serialized), i.e. ~0.7 s per table plane for the reference's 91M-voxel
+window.  TPUs have no fast arbitrary gather; what they DO have is:
+
+* free *row* gathers (a (X*Y,)-indexed gather of whole 128-lane rows from a
+  small table runs at bandwidth — measured ~free at 390K rows), and
+* an in-register per-lane shuffle: Mosaic lowers
+  ``jnp.take_along_axis(tab (S,128), idx (S,128), axis=-1)`` to a dynamic
+  lane gather, thousands of lookups per VPU op.
+
+This kernel restructures the sweep around those two primitives
+(reference semantics: cu_min_tsdf_krnl, update_tsdf.cu:45-128, re-derived
+projectively; merge: cu_avg_tsdf_krnl, update_tsdf.cu:13-43):
+
+1. (XLA, host of the kernel) each (x, y) voxel column gets the table row of
+   its central azimuth: ``mini = T[col_c]`` — a free row gather producing
+   (X, Y, 3*128) relative-endpoint lanes + the selector column.
+2. (Pallas, this file) one pass over the window: per voxel compute the
+   sensor-frame direction from separable per-axis coordinate vectors
+   (no integer ring-wrap logic in-kernel — the wrap is folded into the
+   coordinate arrays), derive (ring, col), lane-gather the beam endpoint
+   from the column's mini row, run the exact shared projective math
+   (_projective_math) and the exact shared merge (_merge_planes), and
+   write the fused (value, weight) planes in place (input/output aliased).
+
+Beam-window invariant (the one deliberate deviation from the XLA twin):
+a voxel only fuses when its azimuth column equals its (x, y) column's
+central azimuth column ``col_c``.  For a level scanner (R without roll/
+pitch) the azimuth of a vertical voxel column is exactly z-invariant, so
+coverage is identical to the twin; under tilt, voxels whose azimuth
+rounds to a different column skip this fusion step — equivalent to the
+reference dropping rays that exit the window (update_tsdf.cu:69-75) —
+and are refreshed by subsequent scans.  tests/test_tsdf_pallas.py checks
+bit-parity at R=I and statistical coverage under tilt.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..map.local_map import LocalMapState, in_bounds
+from ..ops.tsdf_projective import (_global_coords, _merge_planes,
+                                   _projective_math, build_beam_table)
+
+_LANES = 128            # ring axis padded to one vreg row of lanes
+_YB = 64                # y rows per block
+_ZB = 256               # z lanes per block (covers Z<=256 in one block)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# Mosaic has no atan2/asin lowering — minimax-style polynomial (degree 10 in
+# t^2, |err| < 1.3e-9 > f32 ulp) used by BOTH the kernel's per-voxel angles
+# and the XLA-side central-column selector, so col(v) == col_c is decided by
+# identical arithmetic on both sides.
+_ATAN_COEFFS = (
+    0.9999999997078762, -0.3333332567962122, 0.1999966704257419,
+    -0.14280018642717562, 0.11060465912885432, -0.088224286718801,
+    0.06772956472861918, -0.0451995795047598, 0.02302547988065988,
+    -0.007569172028535227, 0.001168272255317259)
+
+
+def atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
+    """Polynomial atan2 (f32), quadrant-correct; (0, 0) -> 0."""
+    ax_, ay_ = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(jnp.maximum(ax_, ay_), 1e-20)
+    t = jnp.minimum(ax_, ay_) / hi
+    s = t * t
+    p = jnp.float32(_ATAN_COEFFS[-1])
+    for c in reversed(_ATAN_COEFFS[:-1]):
+        p = p * s + jnp.float32(c)
+    p = p * t
+    r = jnp.where(ay_ > ax_, jnp.float32(math.pi / 2) - p, p)
+    r = jnp.where(x < 0, jnp.float32(math.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _gather_lanes(tab: jax.Array, idx: jax.Array) -> jax.Array:
+    """take_along_axis(tab (S, 128), idx (S, Z)) in proven 128-lane chunks."""
+    outs = []
+    for z0 in range(0, idx.shape[-1], _LANES):
+        outs.append(jnp.take_along_axis(tab, idx[:, z0:z0 + _LANES],
+                                        axis=-1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _fusion_kernel(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref, w_ref,
+                   out_v_ref, out_w_ref, *, tau, max_weight, resolution,
+                   channels, columns, vfov_deg):
+    # separable coordinates (all relative to the scanner, mm, f32):
+    # cxs (X, 4) SMEM whole-array: [dx, R00*dx, R01*dx, R02*dx] per x slice
+    # cys (YB, 4) VMEM; czs (4, ZB) VMEM — same 4 lanes per axis
+    i = pl.program_id(0)
+    dx = cxs_ref[i, 0]
+    dy = cys_ref[:, 0:1]                                   # (YB, 1)
+    dz = czs_ref[0:1, :]                                   # (1, ZB)
+    dsx = cxs_ref[i, 1] + cys_ref[:, 1:2] + czs_ref[1:2, :]
+    dsy = cxs_ref[i, 2] + cys_ref[:, 2:3] + czs_ref[2:3, :]
+    dsz = cxs_ref[i, 3] + cys_ref[:, 3:4] + czs_ref[3:4, :]
+
+    rho2 = dsx * dsx + dsy * dsy
+    r_vox = jnp.sqrt(rho2 + dsz * dsz)                     # (YB, ZB)
+    az = atan2_poly(dsy, dsx)
+    el = atan2_poly(dsz, jnp.sqrt(rho2))    # == asin(dsz / r_vox)
+    spacing = math.radians(vfov_deg) / (channels - 1)
+    half_v = math.radians(vfov_deg) / 2.0
+    ringf = (half_v - el) / spacing
+    ring = jnp.round(ringf).astype(jnp.int32)
+    ring_ok = (ring >= 0) & (ring < channels)
+    colf = (az + math.pi) / (2 * math.pi) * columns
+    col = jnp.mod(jnp.round(colf).astype(jnp.int32), columns)
+
+    mini = mini_ref[0]                                     # (YB, 3*128+1)
+    col_c = mini[:, 3 * _LANES:3 * _LANES + 1].astype(jnp.int32)
+    on_column = col == col_c                               # beam-window W=0
+    ridx = jnp.clip(ring, 0, channels - 1)
+    bx = _gather_lanes(mini[:, 0 * _LANES:1 * _LANES], ridx)
+    by = _gather_lanes(mini[:, 1 * _LANES:2 * _LANES], ridx)
+    bz = _gather_lanes(mini[:, 2 * _LANES:3 * _LANES], ridx)
+    r_beam = jnp.sqrt(bx * bx + by * by + bz * bz)
+    r_beam = jnp.where(jnp.isfinite(bx), r_beam, jnp.inf)
+
+    dxb = dx + jnp.zeros_like(r_vox)
+    dyb = dy + jnp.zeros_like(r_vox)
+    dzb = dz + jnp.zeros_like(r_vox)
+    new_v, new_w = _projective_math(
+        dxb, dyb, dzb, r_vox, ringf, ring, ring_ok & on_column, colf,
+        r_beam, bx, by, bz, tau=tau, resolution=resolution,
+        channels=channels, columns=columns, vfov_deg=vfov_deg)
+
+    ev = v_ref[0].astype(jnp.int32)
+    ew = w_ref[0].astype(jnp.int32)
+    out_v, out_w = _merge_planes(ev, ew, new_v, new_w, max_weight)
+    out_v_ref[0] = out_v.astype(jnp.int16)
+    out_w_ref[0] = out_w.astype(jnp.int16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("size", "tau", "max_weight", "resolution", "channels",
+                     "columns", "vfov_deg"),
+    donate_argnames=("state",),
+)
+def tsdf_update_projective_pallas(
+        state: LocalMapState, points: jax.Array, points_mask: jax.Array,
+        scanner_pos: jax.Array, rotation: jax.Array, *,
+        size: tuple[int, int, int], tau: int, max_weight: int,
+        resolution: int, channels: int = 128, columns: int = 1024,
+        vfov_deg: float = 45.0) -> LocalMapState:
+    """Drop-in Pallas replacement for ops.tsdf_projective
+    .tsdf_update_projective (same signature/semantics, see module doc)."""
+    assert channels <= _LANES, "ring axis must fit one 128-lane vreg row"
+    X, Y, Z = size
+    assert Z <= _ZB, "window z extent must fit a single 256-lane block"
+    scanner_mm = scanner_pos * resolution + resolution // 2
+
+    # --- beam table with relative endpoints (holes -> +inf), same ray gate
+    # as the XLA twin (whole rays dropped when the endpoint leaves the
+    # window grown by tau/2; ops/tsdf.py point_ok, update_tsdf.cu:69-75)
+    cell = jnp.floor_divide(points, resolution)
+    points_mask = points_mask & in_bounds(
+        cell, state.pos, jnp.asarray(size), -(tau // resolution // 2))
+    rng_tab, endpoint = build_beam_table(
+        points, points_mask, scanner_mm, rotation, channels=channels,
+        columns=columns, vfov_deg=vfov_deg)
+    rel = endpoint - scanner_mm.astype(jnp.float32)
+    rel = jnp.where(jnp.isfinite(rng_tab)[:, None], rel, jnp.inf)
+    tab = rel.reshape(columns, channels, 3)
+    tab = jnp.pad(tab, ((0, 0), (0, _LANES - channels), (0, 0)),
+                  constant_values=jnp.inf)
+    t3 = jnp.concatenate([tab[:, :, 0], tab[:, :, 1], tab[:, :, 2]],
+                         axis=-1)                          # (cols, 3*128)
+
+    # --- separable relative coordinates (ring wrap folded in, f32 mm)
+    gx, gy, gz = _global_coords(state.pos, state.offset, size)
+    cx = (gx * resolution + resolution // 2
+          - scanner_mm[0]).astype(jnp.float32)
+    cy = (gy * resolution + resolution // 2
+          - scanner_mm[1]).astype(jnp.float32)
+    cz = (gz * resolution + resolution // 2
+          - scanner_mm[2]).astype(jnp.float32)
+    R = rotation.astype(jnp.float32)
+    cxs = jnp.stack([cx, cx * R[0, 0], cx * R[0, 1], cx * R[0, 2]], axis=-1)
+    cys = jnp.stack([cy, cy * R[1, 0], cy * R[1, 1], cy * R[1, 2]], axis=-1)
+    czs = jnp.stack([cz, cz * R[2, 0], cz * R[2, 1], cz * R[2, 2]], axis=0)
+    czs = jnp.pad(czs, ((0, 0), (0, _ZB - Z)))
+
+    # --- central azimuth per (x, y) column at the window's mid z slice,
+    # then the free row gather building each column's mini beam row
+    zc = Z // 2
+    dsx_c = cxs[:, None, 1] + cys[None, :, 1] + czs[1, zc]
+    dsy_c = cxs[:, None, 2] + cys[None, :, 2] + czs[2, zc]
+    az_c = atan2_poly(dsy_c, dsx_c)
+    col_c = jnp.mod(jnp.round((az_c + math.pi) / (2 * math.pi) * columns)
+                    .astype(jnp.int32), columns)           # (X, Y)
+    mini = t3[col_c]                                       # (X, Y, 3*128)
+    mini = jnp.concatenate([mini, col_c[..., None].astype(jnp.float32)],
+                           axis=-1)                        # (X, Y, 3*128+1)
+
+    kern = functools.partial(
+        _fusion_kernel, tau=tau, max_weight=max_weight,
+        resolution=resolution, channels=channels, columns=columns,
+        vfov_deg=vfov_deg)
+    grid = (X, pl.cdiv(Y, _YB))
+    out_v, out_w = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _YB, 3 * _LANES + 1),
+                         lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_YB, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, _ZB), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _YB, _ZB), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _YB, _ZB), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _YB, _ZB), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _YB, _ZB), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((X, Y, Z), jnp.int16),
+            jax.ShapeDtypeStruct((X, Y, Z), jnp.int16),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=_interpret(),
+    )(mini, cxs, cys, czs, state.value, state.weight)
+    return LocalMapState(value=out_v, weight=out_w, pos=state.pos,
+                         offset=state.offset)

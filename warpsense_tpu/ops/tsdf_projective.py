@@ -227,11 +227,10 @@ def _projective_math(dx, dy, dz, r_vox, ringf, ring, ring_ok, colf, r_beam,
     return (jnp.where(ok, value_i, 0), jnp.where(ok, w, 0))
 
 
-def _merge(state: LocalMapState, new_v, new_w, max_weight) -> LocalMapState:
-    """Weighted averaging merge — identical to the ray-march op's sweep
-    (ops/tsdf.py, parity cu_avg_tsdf_krnl update_tsdf.cu:13-43)."""
-    ev = state.value.astype(jnp.int32)
-    ew = state.weight.astype(jnp.int32)
+def _merge_planes(ev, ew, new_v, new_w, max_weight):
+    """Elementwise weighted-averaging merge on int32 planes — the shared
+    core of the XLA sweep and the Pallas kernel (parity cu_avg_tsdf_krnl
+    update_tsdf.cu:13-43).  Returns (value, weight) int32."""
     avg_case = (new_w > 0) & (ew > 0)
     over_case = (new_w != 0) & (ew <= 0)
     den = jnp.where(avg_case, ew + new_w, 1)
@@ -239,6 +238,15 @@ def _merge(state: LocalMapState, new_v, new_w, max_weight) -> LocalMapState:
     out_v = jnp.where(avg_case, avg_v, jnp.where(over_case, new_v, ev))
     out_w = jnp.where(avg_case, jnp.minimum(max_weight, ew + new_w),
                       jnp.where(over_case, new_w, ew))
+    return out_v, out_w
+
+
+def _merge(state: LocalMapState, new_v, new_w, max_weight) -> LocalMapState:
+    """Weighted averaging merge — identical to the ray-march op's sweep
+    (ops/tsdf.py, parity cu_avg_tsdf_krnl update_tsdf.cu:13-43)."""
+    out_v, out_w = _merge_planes(state.value.astype(jnp.int32),
+                                 state.weight.astype(jnp.int32),
+                                 new_v, new_w, max_weight)
     return LocalMapState(value=out_v.astype(jnp.int16),
                          weight=out_w.astype(jnp.int16),
                          pos=state.pos, offset=state.offset)

@@ -54,11 +54,13 @@ class WarpsenseApp:
 
     def __init__(self, params: Params, map_path: str | Path | None = None,
                  capacity: int = 32768, max_range_mm: int = 50000,
-                 profile: bool = False, fusion: str = "projective",
+                 profile: bool = False, fusion: str = "auto",
                  resume: bool = False):
-        """``fusion``: "projective" (dense gather sweep — the TPU fast
-        path, ops/tsdf_projective.py) or "raymarch" (exact reference
-        semantics, ops/tsdf.py).
+        """``fusion``: "auto" (Pallas fusion kernel on TPU, XLA projective
+        sweep elsewhere), "pallas" (kernels/tsdf_pallas.py — the TPU
+        speed-of-light single-pass kernel), "projective" (dense gather
+        sweep, ops/tsdf_projective.py — exact twin, slow on TPU) or
+        "raymarch" (exact reference semantics, ops/tsdf.py).
 
         ``resume=True`` reopens an existing map file, reloads the window
         around the last persisted pose and continues from it — the
@@ -206,10 +208,28 @@ class WarpsenseApp:
         m = self.params.map
         scanner_pos = jnp.asarray(
             np.floor(self.pose[:3, 3] / m.resolution).astype(np.int32))
-        if self.fusion == "projective":
-            self.state = tsdf_update_projective(
+        fusion = self.fusion
+        if fusion == "auto":
+            import jax
+            ok = (jax.default_backend() == "tpu"
+                  and self.local_map.size[2] <= 256
+                  and self.params.lidar.channels <= 128)
+            fusion = "pallas" if ok else "projective"
+        if fusion in ("projective", "pallas"):
+            from ..kernels.tsdf_pallas import tsdf_update_projective_pallas
+            update = (tsdf_update_projective_pallas if fusion == "pallas"
+                      else tsdf_update_projective)
+            # The beam grid attitude only defines the spherical binning of
+            # the (already map-frame) scan, not the geometry.  The Pallas
+            # kernel's beam-window invariant is exact for a LEVEL grid
+            # (azimuth of a vertical voxel column is z-invariant), so the
+            # Pallas path always bins on a map-aligned grid; the XLA twin
+            # keeps the sensor attitude for reference-exact behavior.
+            grid_rot = (jnp.eye(3, dtype=jnp.float32) if fusion == "pallas"
+                        else jnp.asarray(self.pose[:3, :3], jnp.float32))
+            self.state = update(
                 self.state, pts, mask, scanner_pos,
-                jnp.asarray(self.pose[:3, :3], jnp.float32),
+                grid_rot,
                 size=self.local_map.size, tau=m.tau,
                 max_weight=m.max_weight_scaled, resolution=m.resolution,
                 channels=self.params.lidar.channels,
