@@ -18,6 +18,7 @@ from .ring_buffer import ConcurrentRingBuffer
 class ImuSample:
     stamp: float                 # seconds
     angular_velocity: np.ndarray  # (3,) rad/s
+    orientation: np.ndarray | None = None  # (4,) unit quaternion (x,y,z,w)
 
 
 def _axis_rotations(orientation: np.ndarray) -> np.ndarray:
@@ -53,4 +54,49 @@ class ImuAccumulator:
             R = _axis_rotations(np.asarray(msg.angular_velocity) * dt)
             acc[:3, :3] = R @ acc[:3, :3]
             self.last_stamp = msg.stamp
+        return acc
+
+
+def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    """Unit quaternion (x,y,z,w) -> 3x3 rotation, numpy twin of
+    core.geometry.quat_to_mat."""
+    x, y, z, w = np.asarray(q, np.float64)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+class ImuOrientationDiff:
+    """Absolute-orientation-difference pretransform (the fastsense variant).
+
+    Behavioral parity: /root/reference/src/cpu/fastsense.cpp:181-212 — the
+    node consumes (Madgwick-)filtered IMU messages carrying absolute
+    orientation quaternions; per scan it drains all samples with
+    stamp <= cloud stamp, keeps the LAST one, and the rotation pretransform
+    is R(q_now) @ R(q_prev)^T (the orientation delta since the previous
+    scan).  The first orientation only seeds the anchor.
+    """
+
+    def __init__(self, buffer: ConcurrentRingBuffer):
+        self.buffer = buffer
+        self.last_orientation: np.ndarray | None = None
+
+    def pretransform(self, cloud_stamp: float) -> np.ndarray:
+        """4x4 rotation pretransform from the orientation delta."""
+        latest = None
+        while True:
+            msg = self.buffer.pop_nb_if(lambda m: cloud_stamp - m.stamp >= 0)
+            if msg is None:
+                break
+            if msg.orientation is not None:
+                latest = np.asarray(msg.orientation, np.float64)
+        acc = np.eye(4, dtype=np.float64)
+        if latest is None:
+            return acc
+        if self.last_orientation is not None:
+            acc[:3, :3] = (_quat_to_mat_np(latest)
+                           @ _quat_to_mat_np(self.last_orientation).T)
+        self.last_orientation = latest
         return acc
