@@ -109,3 +109,6 @@ def test_threaded_runner_matches_sequential(tmp_path, scans_and_truth):
     b = thr_app.trajectory()
     assert len(a) == len(b) == 4
     np.testing.assert_allclose(a, b, atol=1e-5)
+    # the visualization stage drained every refined pose into the path
+    assert len(runner.path) == 4
+    assert all(p.shape == (4, 4) for _, p in runner.path)

@@ -95,6 +95,9 @@ class FastsenseApp:
         self.imu_diff = ImuOrientationDiff(self.imu_buffer)
 
         self._jobs = ConcurrentRingBuffer(1)
+        self._jobs_submitted = 0
+        self._jobs_done = 0
+        self._done_cv = threading.Condition()
         self._worker = threading.Thread(target=self._worker_run, daemon=True)
         self._worker_running = True
         self._worker.start()
@@ -168,6 +171,7 @@ class FastsenseApp:
             self.last_update_pose = self.pose.copy()
             # reference joins the previous thread before spawning a new one
             # (fastsense.cpp:246-249) => blocking hand-off, never a dropped job
+            self._jobs_submitted += 1
             self._jobs.push((pts, mask, self.pose.copy()))
         if prof:
             prof.stop("total")
@@ -224,6 +228,17 @@ class FastsenseApp:
                 export_tsdf_ply(
                     self.viz_dir / f"tsdf_{self.scan_count:06d}.ply",
                     self.state, resolution=m.resolution, tau=m.tau)
+            with self._done_cv:
+                self._jobs_done += 1
+                self._done_cv.notify_all()
+
+    def sync(self, timeout: float | None = None) -> None:
+        """Block until every enqueued mapping job has been published —
+        the deterministic analogue of the reference's thread join
+        (fastsense.cpp:246-249); useful for tests and offline replay."""
+        with self._done_cv:
+            self._done_cv.wait_for(
+                lambda: self._jobs_done >= self._jobs_submitted, timeout)
 
     # --------------------------------------------------------------- shutdown
     def terminate(self, csv_path: str | Path | None = None) -> None:

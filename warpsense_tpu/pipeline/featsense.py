@@ -268,21 +268,32 @@ class ThreadedFeatsenseRunner:
     """Pipeline-parallel featsense: the reference's 4 background threads
     wired by ring buffers (featsense.cpp:52-75), around the same stages.
 
-    Stage threads: features -> odometry -> mapping; visualization is the
-    caller draining ``pose_buffer``.  Queues carry device arrays; each
-    stage dispatches its own jitted work so stages overlap.
+    Stage threads: features -> odometry -> mapping -> visualization (the
+    4th thread drains ``pose_buffer`` into ``path`` and optionally appends
+    a TUM trajectory file — the stand-in for the reference's TF broadcast
+    + path pointcloud, visualization.cpp:16-67).  Queues carry device
+    arrays; each stage dispatches its own jitted work so stages overlap.
     """
 
-    def __init__(self, app: FeatsenseApp, queue_depth: int = 8):
+    def __init__(self, app: FeatsenseApp, queue_depth: int = 8,
+                 viz_path: str | None = None):
         self.app = app
         self.cloud_buffer = ConcurrentRingBuffer(queue_depth)
         self.feature_buffer = ConcurrentRingBuffer(queue_depth)
         self.odom_buffer = ConcurrentRingBuffer(queue_depth)
         self.pose_buffer = ConcurrentRingBuffer(1024)
+        self.viz_path = viz_path
+        self.path: list[tuple[float, np.ndarray]] = []
         self.running = False
         self._threads: list[threading.Thread] = []
 
     # stage bodies ----------------------------------------------------------
+    def _upstream_alive(self, stage: int) -> bool:
+        # stage k must keep draining while any earlier stage thread is
+        # still alive (it may yet push), not just while its buffer is
+        # non-empty — otherwise drain() can drop in-flight items
+        return any(t.is_alive() for t in self._threads[:stage])
+
     def _features_stage(self):
         app = self.app
         while self.running or len(self.cloud_buffer):
@@ -300,7 +311,8 @@ class ThreadedFeatsenseRunner:
 
     def _odometry_stage(self):
         app = self.app
-        while self.running or len(self.feature_buffer):
+        while (self.running or self._upstream_alive(1)
+               or len(self.feature_buffer)):
             item = self.feature_buffer.pop(timeout=0.05)
             if item is None:
                 continue
@@ -311,7 +323,8 @@ class ThreadedFeatsenseRunner:
 
     def _mapping_stage(self):
         app = self.app
-        while self.running or len(self.odom_buffer):
+        while (self.running or self._upstream_alive(2)
+               or len(self.odom_buffer)):
             item = self.odom_buffer.pop(timeout=0.05)
             if item is None:
                 continue
@@ -321,6 +334,28 @@ class ThreadedFeatsenseRunner:
             self.pose_buffer.push_nb(
                 (stamp, pose if refined is None else refined), force=True)
 
+    def _viz_stage(self):
+        """Drain refined poses into the in-memory path + optional TUM file
+        (parity: Visualization::thread_run, visualization.cpp:16-67)."""
+        fh = open(self.viz_path, "a") if self.viz_path else None
+        try:
+            while (self.running or self._upstream_alive(3)
+                   or len(self.pose_buffer)):
+                item = self.pose_buffer.pop(timeout=0.05)
+                if item is None:
+                    continue
+                stamp, pose = item
+                self.path.append((stamp, np.asarray(pose).copy()))
+                if fh is not None:
+                    from ..io.trajectory import _quat_from_mat
+                    t = np.asarray(pose)[:3, 3]
+                    q = _quat_from_mat(np.asarray(pose)[:3, :3])
+                    fh.write("%.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f\n"
+                             % (stamp, *t, *q))
+        finally:
+            if fh is not None:
+                fh.close()
+
     # lifecycle --------------------------------------------------------------
     def start(self) -> None:
         self.running = True
@@ -328,6 +363,7 @@ class ThreadedFeatsenseRunner:
             threading.Thread(target=self._features_stage, daemon=True),
             threading.Thread(target=self._odometry_stage, daemon=True),
             threading.Thread(target=self._mapping_stage, daemon=True),
+            threading.Thread(target=self._viz_stage, daemon=True),
         ]
         for t in self._threads:
             t.start()
