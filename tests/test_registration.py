@@ -198,3 +198,57 @@ def test_registration_reference_recovers_translation(corner_scene):
     rot_err, trans_err = pose_errors(out)
     assert trans_err < 1.5 * RESOLUTION
     assert rot_err < 1.7  # transient rotation the damped GN injects/decays
+
+
+def test_registration_packed_recovers_perturbation(corner_scene):
+    """Packed single-plane fast path (1 gather/iter, byte-quantized
+    gradients, interpolated residuals): recovers rot+trans perturbations
+    tighter than the nearest-cell modes AND converges in few iterations
+    (the 100x-cost fix: iterations actually terminate)."""
+    from warpsense_tpu.ops.registration import (precompute_fields_packed,
+                                                register_cloud_packed)
+    corner_map, scan = corner_scene
+    rng = np.random.default_rng(13)
+    pts = reg_cloud(scan, rng, 3000)
+    perturbed = pose_from([0.1, 0.5, 1.0], np.deg2rad(1.0), [60, -50, 40])
+    rot0, trans0 = pose_errors(perturbed)
+
+    state = corner_map.device_state()
+    fields = precompute_fields_packed(state, tau=TAU)
+    mask = jnp.ones((len(pts),), bool)
+    out, iters, err = register_cloud_packed(
+        fields, state.pos, state.offset, jnp.asarray(pts, jnp.int32), mask,
+        jnp.asarray(perturbed), size=corner_map.size, resolution=RESOLUTION,
+        tau=TAU, max_iterations=200, it_weight_gradient=0.1, epsilon=0.0)
+    rot_err, trans_err = pose_errors(np.asarray(out))
+    assert int(iters) < 40, f"no early convergence: {int(iters)} iterations"
+    assert trans_err < RESOLUTION / 2, f"translation {trans_err:.1f} mm"
+    assert rot_err < 0.5 * rot0, f"rotation {rot_err:.3f} !< {0.5 * rot0:.3f}"
+    assert np.isfinite(float(err))
+
+
+def test_registration_packed_interp_beats_nearest(corner_scene):
+    """Gradient-interpolated residuals give sub-voxel translation recovery
+    the nearest-cell residual cannot (the accuracy ceiling VERDICT r1 #4)."""
+    from warpsense_tpu.ops.registration import (precompute_fields_packed,
+                                                register_cloud_packed)
+    corner_map, scan = corner_scene
+    rng = np.random.default_rng(17)
+    pts = reg_cloud(scan, rng, 3000)
+    perturbed = pose_from([0, 0, 1.0], 0.0, [100, -90, 70])
+
+    state = corner_map.device_state()
+    fields = precompute_fields_packed(state, tau=TAU)
+    mask = jnp.ones((len(pts),), bool)
+    kw = dict(size=corner_map.size, resolution=RESOLUTION, tau=TAU,
+              max_iterations=200, it_weight_gradient=0.1, epsilon=0.0)
+    out_i, _, _ = register_cloud_packed(
+        fields, state.pos, state.offset, jnp.asarray(pts, jnp.int32), mask,
+        jnp.asarray(perturbed), interp=True, **kw)
+    out_n, _, _ = register_cloud_packed(
+        fields, state.pos, state.offset, jnp.asarray(pts, jnp.int32), mask,
+        jnp.asarray(perturbed), interp=False, **kw)
+    _, trans_i = pose_errors(np.asarray(out_i))
+    _, trans_n = pose_errors(np.asarray(out_n))
+    assert trans_i < RESOLUTION / 2
+    assert trans_i <= trans_n + 1.0, (trans_i, trans_n)

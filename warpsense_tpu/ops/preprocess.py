@@ -22,15 +22,25 @@ import jax.numpy as jnp
 from ..core.geometry import to_int_mat, transform_point_fixed
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "capacity"))
+@functools.partial(jax.jit, static_argnames=("resolution", "capacity",
+                                              "snap"))
 def preprocess(points_m: jax.Array, valid: jax.Array, pose: jax.Array, *,
-               resolution: int, capacity: int) -> tuple[jax.Array, jax.Array]:
+               resolution: int, capacity: int,
+               snap: bool = True) -> tuple[jax.Array, jax.Array]:
     """points_m: (N, 3) float32 meters (padded rows arbitrary);
     valid: (N,) bool; pose: 4x4 float32 (mm translation).
 
     Returns (points (capacity, 3) int32 mm, mask (capacity,) bool):
-    deduplicated voxel centers transformed into map frame, valid-first.
-    """
+    deduplicated voxel representatives transformed into map frame,
+    valid-first.
+
+    ``snap=True`` returns voxel CENTERS (reference parity,
+    app.cpp:120-148).  ``snap=False`` keeps the first point's TRUE mm
+    coordinates per voxel: the sensor-frame center snap scatters points up
+    to a half cell diagonal off the surface in the (differently aligned)
+    map grid, which flattens/biases the registration objective for
+    sub-voxel motion — the fast pipeline registers unsnapped points
+    against interpolated residuals instead."""
     x, y, z = points_m[:, 0], points_m[:, 1], points_m[:, 2]
     near = (x < 0.3) & (y < 0.3) & (z < 0.3)   # reference quirk: AND, not norm
     keep = valid & ~near & jnp.all(jnp.isfinite(points_m), axis=-1)
@@ -38,6 +48,8 @@ def preprocess(points_m: jax.Array, valid: jax.Array, pose: jax.Array, *,
     mm = points_m * 1000.0
     center = (jnp.floor(mm / resolution) * resolution
               + resolution // 2).astype(jnp.int32)
+    if not snap:
+        rep = jnp.round(mm).astype(jnp.int32)   # dedup key stays the voxel
 
     # sort by voxel key; push dropped points to the back
     big = jnp.int32(2 ** 30)
@@ -51,6 +63,8 @@ def preprocess(points_m: jax.Array, valid: jax.Array, pose: jax.Array, *,
     first = jnp.concatenate([jnp.ones((1,), bool),
                              jnp.any(sc[1:] != sc[:-1], axis=-1)])
     uniq = skeep & first
+    if not snap:
+        sc = rep[order]
 
     # compact unique points to the front (stable: argsort of ~uniq)
     comp = jnp.argsort(~uniq, stable=True)[:capacity]

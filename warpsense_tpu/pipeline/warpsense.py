@@ -31,7 +31,9 @@ from ..map.global_map import GlobalMap
 from ..map.local_map import LocalMap
 from ..obs.profiler import RuntimeEvaluator
 from ..ops.preprocess import preprocess
-from ..ops.registration import precompute_fields, register_cloud_fields
+from ..ops.registration import (precompute_fields, precompute_fields_packed,
+                                precompute_fields_packed2,
+                                register_cloud_fields, register_cloud_packed)
 from ..ops.tsdf import plan_raymarch, tsdf_update
 from ..ops.tsdf_projective import tsdf_update_projective
 from ..utils.filter import SlidingWindowFilter
@@ -55,7 +57,7 @@ class WarpsenseApp:
     def __init__(self, params: Params, map_path: str | Path | None = None,
                  capacity: int = 32768, max_range_mm: int = 50000,
                  profile: bool = False, fusion: str = "auto",
-                 resume: bool = False):
+                 resume: bool = False, exact_fields: bool = False):
         """``fusion``: "auto" (Pallas fusion kernel on TPU, XLA projective
         sweep elsewhere), "pallas" (kernels/tsdf_pallas.py — the TPU
         speed-of-light single-pass kernel), "projective" (dense gather
@@ -69,7 +71,10 @@ class WarpsenseApp:
         self.capacity = int(capacity)
         self.profile = profile
         self.fusion = fusion
+        self.exact_fields = exact_fields
         self._fields = None      # cached registration fields (per map epoch)
+        self.last_reg_iters = 0  # GN iterations of the last scan (fast mode)
+        self.last_reg_err = float("nan")
         m = params.map
         path = Path(map_path) if map_path is not None else m.h5_path()
         self.global_map = GlobalMap(path, m.tau, m.initial_weight,
@@ -141,15 +146,33 @@ class WarpsenseApp:
 
         if prof:
             prof.start("preprocessing")
+        # fast mode keeps TRUE point coordinates through dedup: the voxel-
+        # center snap (reference parity) scatters points off the surface in
+        # the map grid and flattens the sub-voxel registration objective
         pts, mask = preprocess(cloud, valid, jnp.asarray(self.pose),
-                               resolution=m.resolution, capacity=self.capacity)
+                               resolution=m.resolution, capacity=self.capacity,
+                               snap=self.params.registration.mode != "fast")
         if prof:
             pts.block_until_ready()
             prof.stop("preprocessing")
 
+        # Fusion order: the reference fuses BEFORE registering
+        # (app.cpp:65-117), i.e. with the scan at the STALE pose — every
+        # update injects wall evidence lagged by one scan's motion, which
+        # registration then tracks: a measured ~0.15 deg/scan systematic
+        # yaw drift on a 3 deg/scan turn (and plausibly the instability the
+        # reference README admits at line 301).  Fast mode therefore fuses
+        # AFTER registration at the refined pose (post_fuse below); parity
+        # mode keeps the reference order.  Bootstrap (first scan / after
+        # shift) must fuse first either way — there is nothing to register
+        # against yet.
+        fuse_now = (self.params.registration.mode != "fast"
+                    or not self.initialized or self.shifted)
         dist_tsdf = np.linalg.norm(
             (self.last_tsdf_pose[:3, 3] - self.pose[:3, 3]) / 1000.0)
-        if not self.initialized or dist_tsdf > m.update_distance or self.shifted:
+        want_fuse = (not self.initialized or dist_tsdf > m.update_distance
+                     or self.shifted)
+        if want_fuse and fuse_now:
             self.initialized = True
             self.shifted = False
             self.last_tsdf_pose = self.pose.copy()
@@ -159,6 +182,7 @@ class WarpsenseApp:
             if prof:
                 self.state.value.block_until_ready()
                 prof.stop("tsdf")
+            want_fuse = False
 
         pretransform = self.imu_acc.acc_transform(stamp).astype(np.float32)
         # Apply the IMU delta rotation about the CURRENT sensor position,
@@ -170,18 +194,36 @@ class WarpsenseApp:
 
         if prof:
             prof.start("registration")
-        if self._fields is None:
-            # recomputed only when the map changed (TSDF update or shift) —
-            # dense bandwidth sweep amortized over all scans in between
-            self._fields = precompute_fields(self.state)
-        transform = register_cloud_fields(
-            self._fields, self.state.pos, self.state.offset, pts, mask,
-            jnp.asarray(pretransform),
-            size=self.local_map.size, resolution=m.resolution,
-            max_iterations=self.params.registration.max_iterations,
-            it_weight_gradient=self.params.registration.it_weight_gradient,
-            epsilon=self.params.registration.epsilon,
-            mode=self.params.registration.mode)
+        reg = self.params.registration
+        if reg.mode == "fast":
+            # production hot path: packed single-plane fields (1 gather per
+            # GN iteration) + interpolated residuals + early convergence
+            if self._fields is None:
+                self._fields = (precompute_fields_packed2(self.state)
+                                if self.exact_fields else
+                                precompute_fields_packed(self.state,
+                                                         tau=m.tau))
+            transform, iters, err = register_cloud_packed(
+                self._fields, self.state.pos, self.state.offset, pts, mask,
+                jnp.asarray(pretransform),
+                size=self.local_map.size, resolution=m.resolution, tau=m.tau,
+                max_iterations=reg.max_iterations,
+                it_weight_gradient=reg.it_weight_gradient,
+                epsilon=reg.epsilon)
+            self.last_reg_iters = int(iters)
+            self.last_reg_err = float(err)
+        else:
+            if self._fields is None:
+                # recomputed only when the map changed (TSDF update or
+                # shift) — dense sweep amortized over scans in between
+                self._fields = precompute_fields(self.state)
+            transform = register_cloud_fields(
+                self._fields, self.state.pos, self.state.offset, pts, mask,
+                jnp.asarray(pretransform),
+                size=self.local_map.size, resolution=m.resolution,
+                max_iterations=reg.max_iterations,
+                it_weight_gradient=reg.it_weight_gradient,
+                epsilon=reg.epsilon, mode=reg.mode)
         transform = np.asarray(transform)
         if prof:
             prof.stop("registration")
@@ -194,6 +236,19 @@ class WarpsenseApp:
         # the scan-to-scan rotation is zero and that manifests as steady yaw
         # drift on curved trajectories.)
         self.pose = (transform @ self.pose).astype(np.float32)
+        if want_fuse:
+            # fast mode: fuse at the REFINED pose — re-transform the
+            # map-frame points by the registration delta first
+            self.initialized = True
+            self.last_tsdf_pose = self.pose.copy()
+            if prof:
+                prof.start("tsdf")
+            pts_ref = transform_point_fixed(
+                pts, to_int_mat(jnp.asarray(transform)))
+            self._update_tsdf(pts_ref, mask)
+            if prof:
+                self.state.value.block_until_ready()
+                prof.stop("tsdf")
         self.path.append(self.pose.copy())
         self.global_map.write_pose(self.pose[:3, 3],
                                    _mat_to_quat_np(self.pose[:3, :3]),
