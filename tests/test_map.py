@@ -164,3 +164,44 @@ def test_absorb_then_shift_mutable(tmp_path):
     lm.absorb(state)
     lm.shift([2, 1, 0])   # raised ValueError before the fix
     assert tuple(lm.state.pos.tolist()) == (2, 1, 0)
+
+
+def test_device_backed_shift_matches_host_shift(tmp_path):
+    """attach_device slab-only shift == the host-mirror shift: same window
+    content after the same shift sequence, same HDF5 evictions."""
+    import jax.numpy as jnp
+    from warpsense_tpu.map.local_map import LocalMapState
+
+    rng = np.random.default_rng(7)
+    size = (13, 13, 13)
+    v = rng.integers(-600, 600, size).astype(np.int16)
+    w = rng.integers(0, 32, size).astype(np.int16)
+
+    def build(path):
+        gm = GlobalMap(path, 600, 0)
+        lm = LocalMap(size, gm)
+        lm.state.value[...] = v
+        lm.state.weight[...] = w
+        return lm
+
+    # host path
+    lm_h = build(tmp_path / "host.h5")
+    for p in ((5, 0, 0), (5, -3, 2), (-1, -3, 2)):
+        lm_h.shift(p)
+
+    # device-backed path (same data as jnp arrays)
+    lm_d = build(tmp_path / "dev.h5")
+    state = LocalMapState(value=jnp.asarray(v), weight=jnp.asarray(w),
+                          pos=jnp.zeros(3, jnp.int32),
+                          offset=jnp.asarray([s // 2 for s in size],
+                                             jnp.int32))
+    for p in ((5, 0, 0), (5, -3, 2), (-1, -3, 2)):
+        lm_d.attach_device(state)
+        lm_d.shift(p)
+        state = lm_d.detach_device()
+
+    np.testing.assert_array_equal(np.asarray(state.value), lm_h.state.value)
+    np.testing.assert_array_equal(np.asarray(state.weight), lm_h.state.weight)
+    np.testing.assert_array_equal(np.asarray(state.pos), lm_h.state.pos)
+    np.testing.assert_array_equal(np.asarray(state.offset),
+                                  lm_h.state.offset)

@@ -111,3 +111,23 @@ def test_pallas_empty_scan_is_identity():
         jnp.eye(3, dtype=jnp.float32), **KW)
     assert np.all(np.asarray(st.weight) == 0)
     assert np.all(np.asarray(st.value) == TAU)
+
+
+def test_pallas_level_kernel_bit_parity():
+    """identity_rot=True (per-column azimuth, no beam-window test) is
+    bit-exact against both the general kernel and the XLA twin at R=I."""
+    pts = _room(seed=5)
+    mask = jnp.ones((pts.shape[0],), bool)
+    R = jnp.eye(3, dtype=jnp.float32)
+    origin = jnp.zeros(3, jnp.int32)
+    a = tsdf_update_projective(_fresh(), pts, mask, origin, R, **KW)
+    b = tsdf_update_projective_pallas(_fresh(), pts, mask, origin, R,
+                                      identity_rot=True, **KW)
+    assert np.array_equal(np.asarray(a.value), np.asarray(b.value))
+    assert np.array_equal(np.asarray(a.weight), np.asarray(b.weight))
+    o2 = jnp.asarray([2, -1, 1], jnp.int32)
+    a2 = tsdf_update_projective(a, pts, mask, o2, R, **KW)
+    b2 = tsdf_update_projective_pallas(b, pts, mask, o2, R,
+                                       identity_rot=True, **KW)
+    assert np.array_equal(np.asarray(a2.value), np.asarray(b2.value))
+    assert np.array_equal(np.asarray(a2.weight), np.asarray(b2.weight))

@@ -145,10 +145,62 @@ def _fusion_kernel(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref, w_ref,
     out_w_ref[0] = out_w.astype(jnp.int16)
 
 
+def _fusion_kernel_level(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref, w_ref,
+                         out_v_ref, out_w_ref, *, tau, max_weight,
+                         resolution, channels, columns, vfov_deg):
+    """Identity-rotation specialization of ``_fusion_kernel``.
+
+    The Pallas path always bins on a map-aligned (level) grid
+    (pipeline/warpsense.py), where the azimuth of a vertical voxel column
+    is EXACTLY z-invariant: dsx = dx, dsy = dy carry no z term, so
+    col(v) == col_c by identical arithmetic for every z — the per-voxel
+    atan2 and the beam-window test drop out bit-exactly, and colf/col_res
+    hoist to one per-column evaluation.  ~30% less VPU work per voxel.
+    """
+    i = pl.program_id(0)
+    dx = cxs_ref[i, 0]
+    dy = cys_ref[:, 0:1]                                   # (YB, 1)
+    dz = czs_ref[0:1, :]                                   # (1, ZB)
+
+    rho2 = dx * dx + dy * dy                               # (YB, 1)
+    r_vox = jnp.sqrt(rho2 + dz * dz)                       # (YB, ZB)
+    az = atan2_poly(dy, dx + jnp.zeros_like(dy))           # (YB, 1)
+    el = atan2_poly(dz + jnp.zeros_like(dy), jnp.sqrt(rho2)
+                    + jnp.zeros_like(dz))                  # (YB, ZB)
+    spacing = math.radians(vfov_deg) / (channels - 1)
+    half_v = math.radians(vfov_deg) / 2.0
+    ringf = (half_v - el) / spacing
+    ring = jnp.round(ringf).astype(jnp.int32)
+    ring_ok = (ring >= 0) & (ring < channels)
+    colf = (az + math.pi) / (2 * math.pi) * columns        # (YB, 1)
+
+    mini = mini_ref[0]                                     # (YB, 3*128+1)
+    ridx = jnp.clip(ring, 0, channels - 1)
+    bx = _gather_lanes(mini[:, 0 * _LANES:1 * _LANES], ridx)
+    by = _gather_lanes(mini[:, 1 * _LANES:2 * _LANES], ridx)
+    bz = _gather_lanes(mini[:, 2 * _LANES:3 * _LANES], ridx)
+    r_beam = jnp.sqrt(bx * bx + by * by + bz * bz)
+    r_beam = jnp.where(jnp.isfinite(bx), r_beam, jnp.inf)
+
+    dxb = dx + jnp.zeros_like(r_vox)
+    dyb = dy + jnp.zeros_like(r_vox)
+    dzb = dz + jnp.zeros_like(r_vox)
+    new_v, new_w = _projective_math(
+        dxb, dyb, dzb, r_vox, ringf, ring, ring_ok, colf + jnp.zeros_like(
+            r_vox), r_beam, bx, by, bz, tau=tau, resolution=resolution,
+        channels=channels, columns=columns, vfov_deg=vfov_deg)
+
+    ev = v_ref[0].astype(jnp.int32)
+    ew = w_ref[0].astype(jnp.int32)
+    out_v, out_w = _merge_planes(ev, ew, new_v, new_w, max_weight)
+    out_v_ref[0] = out_v.astype(jnp.int16)
+    out_w_ref[0] = out_w.astype(jnp.int16)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("size", "tau", "max_weight", "resolution", "channels",
-                     "columns", "vfov_deg"),
+                     "columns", "vfov_deg", "identity_rot"),
     donate_argnames=("state",),
 )
 def tsdf_update_projective_pallas(
@@ -156,9 +208,14 @@ def tsdf_update_projective_pallas(
         scanner_pos: jax.Array, rotation: jax.Array, *,
         size: tuple[int, int, int], tau: int, max_weight: int,
         resolution: int, channels: int = 128, columns: int = 1024,
-        vfov_deg: float = 45.0) -> LocalMapState:
+        vfov_deg: float = 45.0, identity_rot: bool = False) -> LocalMapState:
     """Drop-in Pallas replacement for ops.tsdf_projective
-    .tsdf_update_projective (same signature/semantics, see module doc)."""
+    .tsdf_update_projective (same signature/semantics, see module doc).
+
+    ``identity_rot=True`` asserts the (traced) ``rotation`` is the identity
+    and switches to the bit-exact level-grid kernel specialization
+    (per-column azimuth, no beam-window test) — the pipeline's standard
+    configuration."""
     assert channels <= _LANES, "ring axis must fit one 128-lane vreg row"
     X, Y, Z = size
     assert Z <= _ZB, "window z extent must fit a single 256-lane block"
@@ -208,7 +265,8 @@ def tsdf_update_projective_pallas(
                            axis=-1)                        # (X, Y, 3*128+1)
 
     kern = functools.partial(
-        _fusion_kernel, tau=tau, max_weight=max_weight,
+        _fusion_kernel_level if identity_rot else _fusion_kernel,
+        tau=tau, max_weight=max_weight,
         resolution=resolution, channels=channels, columns=columns,
         vfov_deg=vfov_deg)
     grid = (X, pl.cdiv(Y, _YB))

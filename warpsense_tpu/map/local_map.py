@@ -94,6 +94,56 @@ class LocalMap:
                                   global_map.default_weight, xp=np)
         from ..native import load as _load_native
         self._native = _load_native()
+        self._dev: LocalMapState | None = None
+
+    # -------------------------------------------------- device-backed mode
+    def attach_device(self, state: LocalMapState) -> None:
+        """Enter device-backed mode: shift/write_back slab IO reads from and
+        writes to ``state``'s DEVICE arrays directly — per shift only the
+        evicted/loaded slabs move between device and host (O(slab), not
+        O(window); the reference instead round-trips the whole window over
+        PCIe, tsdf_mapping.cpp:116-123).  While attached, the host numpy
+        mirror is NOT maintained (value_at and friends reflect stale data);
+        ``detach_device`` returns the updated device state."""
+        self._dev = LocalMapState(
+            value=state.value, weight=state.weight,
+            pos=np.asarray(state.pos, np.int32).copy(),
+            offset=np.asarray(state.offset, np.int32).copy())
+        # shift() mutates self.state.pos/offset in place; keep them in sync
+        self.state.pos[:] = self._dev.pos
+        self.state.offset[:] = self._dev.offset
+
+    def detach_device(self) -> LocalMapState:
+        dev = self._dev
+        self._dev = None
+        return LocalMapState(
+            value=dev.value, weight=dev.weight,
+            pos=jnp.asarray(self.state.pos),
+            offset=jnp.asarray(self.state.offset))
+
+    def _dev_slab_index(self, start, end):
+        pos = self.state.pos.astype(np.int64)
+        off = self.state.offset.astype(np.int64)
+        axes = []
+        for i in range(3):
+            rng = np.arange(start[i], end[i] + 1, dtype=np.int64)
+            axes.append(jnp.asarray((rng - pos[i] + off[i]) % self.size[i]))
+        return axes
+
+    def _dev_gather(self, start, end):
+        ax, ay, az = self._dev_slab_index(start, end)
+        v = jnp.take(jnp.take(jnp.take(self._dev.value, ax, axis=0),
+                              ay, axis=1), az, axis=2)
+        w = jnp.take(jnp.take(jnp.take(self._dev.weight, ax, axis=0),
+                              ay, axis=1), az, axis=2)
+        return np.asarray(v, np.int16), np.asarray(w, np.int16)
+
+    def _dev_scatter(self, start, end, v, w) -> None:
+        ax, ay, az = self._dev_slab_index(start, end)
+        ix = jnp.ix_(ax, ay, az)
+        self._dev = self._dev._replace(
+            value=self._dev.value.at[ix].set(jnp.asarray(v, jnp.int16)),
+            weight=self._dev.weight.at[ix].set(jnp.asarray(w, jnp.int16)))
 
     # numpy twins of the pure functions ------------------------------------
     def _coords(self, p: np.ndarray) -> np.ndarray:
@@ -150,6 +200,10 @@ class LocalMap:
     def _save_area(self, start, end) -> None:
         start = np.asarray(start, np.int64)
         end = np.asarray(end, np.int64)
+        if self._dev is not None:
+            v, w = self._dev_gather(start, end)
+            self.global_map.write_area(start, pack(v, w))
+            return
         if self._native is not None:
             raw = np.empty(tuple((end - start + 1).tolist()), np.uint32)
             *args, keep = self._native_args(start, end, raw)
@@ -164,6 +218,10 @@ class LocalMap:
         start = np.asarray(start, np.int64)
         end = np.asarray(end, np.int64)
         raw = self.global_map.read_area(start, end)
+        if self._dev is not None:
+            v, w = unpack(raw)
+            self._dev_scatter(start, end, v, w)
+            return
         if self._native is not None:
             raw = np.ascontiguousarray(raw, np.uint32)
             *args, keep = self._native_args(start, end, raw)

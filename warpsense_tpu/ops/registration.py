@@ -342,6 +342,20 @@ def precompute_fields_packed2(state: LocalMapState) -> PackedFields2:
                          plane_b=_pack16(grads[1], grads[2]))
 
 
+def precompute_fields_packed_auto(state: LocalMapState, *, tau: int,
+                                  exact: bool = False):
+    """Backend dispatch: the Pallas streaming kernel on TPU (~2.3 ms at the
+    91M-voxel window vs ~25 ms for the XLA roll formulation), the XLA twin
+    elsewhere."""
+    if jax.default_backend() == "tpu":
+        from ..kernels.fields_pallas import (precompute_fields_packed2_pallas,
+                                             precompute_fields_packed_pallas)
+        return (precompute_fields_packed2_pallas(state) if exact
+                else precompute_fields_packed_pallas(state, tau=tau))
+    return (precompute_fields_packed2(state) if exact
+            else precompute_fields_packed(state, tau=tau))
+
+
 def _decode_packed(code: jax.Array, vs: int, gs: int):
     vcode = (code >> 24) & 0xFF
     valid = vcode != 0

@@ -31,8 +31,8 @@ from ..map.global_map import GlobalMap
 from ..map.local_map import LocalMap
 from ..obs.profiler import RuntimeEvaluator
 from ..ops.preprocess import preprocess
-from ..ops.registration import (precompute_fields, precompute_fields_packed,
-                                precompute_fields_packed2,
+from ..ops.registration import (precompute_fields,
+                                precompute_fields_packed_auto,
                                 register_cloud_fields, register_cloud_packed)
 from ..ops.tsdf import plan_raymarch, tsdf_update
 from ..ops.tsdf_projective import tsdf_update_projective
@@ -106,6 +106,8 @@ class WarpsenseApp:
         self.shifted = False
         self.path: list[np.ndarray] = []
 
+        self._shift_thread = None
+        self._pending_fusion: list = []
         self.imu_buffer = ConcurrentRingBuffer(1000)
         self.imu_filter = SlidingWindowFilter(10)
         self.imu_acc = ImuAccumulator(self.imu_buffer)
@@ -132,6 +134,7 @@ class WarpsenseApp:
         prof = self.eval if self.profile else None
         if prof:
             prof.start("total")
+        self._collect_shift()
         m = self.params.map
         flat = np.ascontiguousarray(cloud_m.reshape(-1, 3))
         if len(flat) > self.capacity:
@@ -167,7 +170,7 @@ class WarpsenseApp:
         # shift) must fuse first either way — there is nothing to register
         # against yet.
         fuse_now = (self.params.registration.mode != "fast"
-                    or not self.initialized or self.shifted)
+                    or not self.initialized)
         dist_tsdf = np.linalg.norm(
             (self.last_tsdf_pose[:3, 3] - self.pose[:3, 3]) / 1000.0)
         want_fuse = (not self.initialized or dist_tsdf > m.update_distance
@@ -199,10 +202,8 @@ class WarpsenseApp:
             # production hot path: packed single-plane fields (1 gather per
             # GN iteration) + interpolated residuals + early convergence
             if self._fields is None:
-                self._fields = (precompute_fields_packed2(self.state)
-                                if self.exact_fields else
-                                precompute_fields_packed(self.state,
-                                                         tau=m.tau))
+                self._fields = precompute_fields_packed_auto(
+                    self.state, tau=m.tau, exact=self.exact_fields)
             transform, iters, err = register_cloud_packed(
                 self._fields, self.state.pos, self.state.offset, pts, mask,
                 jnp.asarray(pretransform),
@@ -240,12 +241,18 @@ class WarpsenseApp:
             # fast mode: fuse at the REFINED pose — re-transform the
             # map-frame points by the registration delta first
             self.initialized = True
+            self.shifted = False
             self.last_tsdf_pose = self.pose.copy()
             if prof:
                 prof.start("tsdf")
             pts_ref = transform_point_fixed(
                 pts, to_int_mat(jnp.asarray(transform)))
-            self._update_tsdf(pts_ref, mask)
+            if self._shift_thread is not None:
+                # window swap in flight: queue (fused after the swap, like
+                # the reference's Mapping during shift, mapping.cpp:115-129)
+                self._pending_fusion.append((pts_ref, mask))
+            else:
+                self._update_tsdf(pts_ref, mask)
             if prof:
                 self.state.value.block_until_ready()
                 prof.stop("tsdf")
@@ -282,6 +289,7 @@ class WarpsenseApp:
             # keeps the sensor attitude for reference-exact behavior.
             grid_rot = (jnp.eye(3, dtype=jnp.float32) if fusion == "pallas"
                         else jnp.asarray(self.pose[:3, :3], jnp.float32))
+            extra = {"identity_rot": True} if fusion == "pallas" else {}
             self.state = update(
                 self.state, pts, mask, scanner_pos,
                 grid_rot,
@@ -289,7 +297,7 @@ class WarpsenseApp:
                 max_weight=m.max_weight_scaled, resolution=m.resolution,
                 channels=self.params.lidar.channels,
                 columns=self.params.lidar.hresolution,
-                vfov_deg=self.params.lidar.vfov)
+                vfov_deg=self.params.lidar.vfov, **extra)
         else:
             int_rot = to_int_mat(jnp.asarray(self.pose))
             up = transform_point_fixed(
@@ -304,16 +312,54 @@ class WarpsenseApp:
                 vfov_deg=self.params.lidar.vfov)
         self._fields = None      # map changed: registration fields stale
 
+    def _collect_shift(self) -> None:
+        """Swap in a completed async shift (fast mode); fuse any scans that
+        were queued while it was in flight (parity with the reference's
+        Mapping accumulating clouds during shift, mapping.cpp:115-129)."""
+        t = self._shift_thread
+        if t is None or t.is_alive():
+            return
+        t.join()
+        self._shift_thread = None
+        self.state = self.local_map.detach_device()
+        self.shifted = True
+        self._fields = None      # window moved: registration fields stale
+        pending, self._pending_fusion = self._pending_fusion, []
+        for pts, mask in pending:
+            self._update_tsdf(pts, mask)
+
     def _maybe_shift(self) -> None:
         """Shift the ring-buffer window once the pose wandered >= map.shift
-        meters from the last shift pose (tsdf_mapping.cpp:97-136)."""
+        meters from the last shift pose (tsdf_mapping.cpp:97-136).
+
+        Fast mode runs the shift on a WORKER thread against a functional
+        snapshot of the device state — registration keeps running on the
+        old window meanwhile (the role of the reference's async map-shift
+        thread + shared_mutex, tsdf_mapping.cpp:97-136, without the lock:
+        the snapshot is immutable by construction) — and moves only the
+        evicted/loaded slabs between device and host (O(slab) transfers;
+        the reference round-trips the whole window, :116-123).  Scans that
+        want fusion while the shift is in flight are queued and fused
+        after the swap.  Parity mode keeps the reference-shaped
+        synchronous whole-window path."""
         m = self.params.map
+        if self._shift_thread is not None:
+            return                     # one shift in flight at a time
         dist = np.linalg.norm(
             (self.last_shift_pose[:3, 3] - self.pose[:3, 3]) / 1000.0)
         if dist < m.shift:
             return
         self.last_shift_pose = self.pose.copy()
         new_pos = np.floor(self.pose[:3, 3] / m.resolution).astype(np.int64)
+        if self.params.registration.mode == "fast":
+            import threading
+            self.local_map.attach_device(self.state)
+
+            def work():
+                self.local_map.shift(new_pos)
+            self._shift_thread = threading.Thread(target=work, daemon=True)
+            self._shift_thread.start()
+            return
         self.local_map.absorb(self.state)
         self.local_map.shift(new_pos)
         self.state = self.local_map.device_state()
@@ -324,6 +370,9 @@ class WarpsenseApp:
     def terminate(self, csv_path: str | Path | None = None) -> None:
         """Persist map + poses; parity with App::terminate (app.cpp:190-225)."""
         self.imu_buffer.clear()
+        if self._shift_thread is not None:
+            self._shift_thread.join()
+        self._collect_shift()
         self.local_map.absorb(self.state)
         self.local_map.write_back()
         if csv_path is not None:
