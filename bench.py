@@ -208,16 +208,17 @@ def main():
         def body(_, carry):
             sc, acc = carry
             sc = sc + acc * 1e-12
-            e, em, s, sm, = extract_features(sc)
+            (e, em, _), (s, sm, _) = extract_features(sc)
             return sc, acc + jnp.sum(e[0]) * 0.0 + em.sum().astype(jnp.float32)
         _, acc = jax.lax.fori_loop(0, K, body, (scan, jnp.float32(0)))
         return acc
 
     feat_ms = timed(feat_loop, scan) * 1e3
 
-    e, em, s, sm = extract_features(scan)
-    emap = merge_map(empty_map(8192), e, em)
-    smap = merge_map(empty_map(16384), s, sm)
+    (e, em, _), (s, sm, _) = extract_features(scan)
+    center = jnp.zeros(3, jnp.float32)
+    emap = merge_map(empty_map(8192), e, em, center, crop=100.0, leaf=0.4)
+    smap = merge_map(empty_map(16384), s, sm, center, crop=100.0, leaf=0.4)
     q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
     t0 = jnp.zeros(3, jnp.float32)
 

@@ -212,10 +212,12 @@ def tsdf_update_projective_pallas(
     """Drop-in Pallas replacement for ops.tsdf_projective
     .tsdf_update_projective (same signature/semantics, see module doc).
 
-    ``identity_rot=True`` asserts the (traced) ``rotation`` is the identity
-    and switches to the bit-exact level-grid kernel specialization
-    (per-column azimuth, no beam-window test) — the pipeline's standard
-    configuration."""
+    ``identity_rot=True`` switches to the bit-exact level-grid kernel
+    specialization (per-column azimuth, no beam-window test) — the
+    pipeline's standard configuration.  PRECONDITION (unchecked, the
+    rotation is traced): the caller must pass the identity rotation;
+    otherwise the beam table and the per-voxel az/el bins silently
+    disagree."""
     assert channels <= _LANES, "ring axis must fit one 128-lane vreg row"
     X, Y, Z = size
     assert Z <= _ZB, "window z extent must fit a single 256-lane block"

@@ -293,40 +293,52 @@ def packed_shifts(tau: int) -> tuple[int, int]:
     return _pack_shift(tau, 126), _pack_shift(tau, 126)
 
 
-@functools.partial(jax.jit, static_argnames=("tau",))
-def precompute_fields_packed(state: LocalMapState, *,
-                             tau: int) -> PackedFields:
-    """One-plane packed twin of ``precompute_fields`` (same gradient rule)."""
+def _rshift_round(x, s):
+    # round-to-nearest quantization (plain >> floors: a -2^(s-1) bias)
+    return (x + (1 << s >> 1)) >> s if s else x
+
+
+def packed_plane_from_neighbors(v, w, neighbors, *, tau: int) -> jax.Array:
+    """Pack (value, per-axis central-difference gradient) into the one-plane
+    byte layout from int32 ``v``/``w`` and per-axis neighbor tuples
+    ``neighbors = [(nv, pv, nw, pw)] * 3``.  Shared by the dense precompute
+    (roll neighbors) and the sharded precompute (halo-exchange neighbors on
+    the partitioned axis).
+
+    NO sign-change rejection (unlike the parity fields /
+    registration.cu:225-246): the crossing cells carry the LARGEST and most
+    informative signed-TSDF gradient, and the interpolated residual needs
+    it exactly there."""
     vs, gs = packed_shifts(tau)
-    v = state.value.astype(jnp.int32)
-    w = state.weight.astype(jnp.int32)
     codes = []
-
-    def _rshift_round(x, s):
-        # round-to-nearest quantization (plain >> floors: a -2^(s-1) bias)
-        return (x + (1 << s >> 1)) >> s if s else x
-
-    for ax in range(3):
-        nv = jnp.roll(v, -1, axis=ax)
-        pv = jnp.roll(v, 1, axis=ax)
-        nw = jnp.roll(w, -1, axis=ax)
-        pw = jnp.roll(w, 1, axis=ax)
-        # NO sign-change rejection here (unlike the parity fields /
-        # registration.cu:225-246): the crossing cells carry the LARGEST and
-        # most informative signed-TSDF gradient, and the interpolated
-        # residual needs it exactly there.
+    for nv, pv, nw, pw in neighbors:
         ok = (nw != 0) & (pw != 0)
         g = jnp.where(ok, div_trunc(nv - pv, 2), 0)
         codes.append(jnp.clip(_rshift_round(g, gs) + 128, 1, 255))
     vcode = jnp.where(w != 0,
                       jnp.clip(_rshift_round(v, vs) + 128, 1, 255), 0)
-    plane = ((vcode << 24) | (codes[0] << 16) | (codes[1] << 8) | codes[2])
-    return PackedFields(plane=plane)
+    return ((vcode << 24) | (codes[0] << 16) | (codes[1] << 8) | codes[2])
+
+
+@functools.partial(jax.jit, static_argnames=("tau",))
+def precompute_fields_packed(state: LocalMapState, *,
+                             tau: int) -> PackedFields:
+    """One-plane packed twin of ``precompute_fields`` — fast-path rule:
+    weight-validity masking only, NO sign-change rejection (see
+    ``packed_plane_from_neighbors``)."""
+    v = state.value.astype(jnp.int32)
+    w = state.weight.astype(jnp.int32)
+    neighbors = [(jnp.roll(v, -1, axis=ax), jnp.roll(v, 1, axis=ax),
+                  jnp.roll(w, -1, axis=ax), jnp.roll(w, 1, axis=ax))
+                 for ax in range(3)]
+    return PackedFields(
+        plane=packed_plane_from_neighbors(v, w, neighbors, tau=tau))
 
 
 @jax.jit
 def precompute_fields_packed2(state: LocalMapState) -> PackedFields2:
-    """Exact two-plane packing (same gradient rule as precompute_fields)."""
+    """Exact (unquantized) two-plane packing — fast-path gradient rule:
+    weight-validity masking only, no sign-change rejection."""
     v = state.value.astype(jnp.int32)
     w = state.weight.astype(jnp.int32)
     grads = []
@@ -402,6 +414,20 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
     (0.5 mm translation, 3e-4 rad) with error improvement below
     ``epsilon`` (mm, the reference's epsilon role).
     """
+    stats = make_packed_stats(fields, pos, offset, points, mask, size=size,
+                              resolution=resolution, tau=tau, interp=interp)
+    del it_weight_gradient   # parity-mode ramp; LM adapts alpha itself
+    return _lm_loop(stats, pretransform, max_iterations=max_iterations,
+                    epsilon=epsilon)
+
+
+def make_packed_stats(fields, pos, offset, points, mask, *, size, resolution,
+                      tau, interp, index_fn=None):
+    """Build the per-iteration ``stats(total) -> (H, g, e, c)`` closure over
+    packed fields.  ``index_fn(buf) -> (flat_idx, owned)``: optional
+    override of the plane indexing — the sharded path maps global cells to
+    shard-LOCAL flat indices and gates by shard ownership; the default is
+    the full-window ring index with every in-bounds cell owned."""
     vs, gs = packed_shifts(tau)
     exact = isinstance(fields, PackedFields2)
     if exact:
@@ -410,15 +436,18 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
     else:
         plane = fields.plane.reshape(-1)
     szv = jnp.asarray(size)
-    D = jnp.concatenate([jnp.full((3,), _SCP, jnp.float32),
-                         jnp.full((3,), 1.0, jnp.float32)])
 
     def stats(total):
         int_mat = jnp.trunc(total * MATRIX_RESOLUTION).astype(jnp.int32)
         pts = transform_point_fixed(points, int_mat)
         buf = jnp.floor_divide(pts, resolution)
         valid = mask & in_bounds(buf, pos, szv, 1)
-        idx = ring_index(buf, pos, offset, size)
+        if index_fn is None:
+            idx = ring_index(buf, pos, offset, size)
+        else:
+            idx, owned = index_fn(buf)
+            valid = valid & owned
+        idx = jnp.where(valid, idx, 0)
         if exact:
             a = plane_a[idx]
             b = plane_b[idx]
@@ -448,7 +477,16 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
         c = jnp.sum(vfm)
         return H, g, e, c
 
-    del it_weight_gradient   # parity-mode ramp; LM adapts alpha itself
+    return stats
+
+
+def _lm_loop(stats, pretransform, *, max_iterations, epsilon):
+    """Adaptive-LM driver over a ``stats(total)`` closure (see
+    ``register_cloud_packed``); shared by the single-chip and sharded fast
+    paths (the sharded stats closure psums its outputs — the loop itself is
+    replicated and stays bit-identical across devices)."""
+    D = jnp.concatenate([jnp.full((3,), _SCP, jnp.float32),
+                         jnp.full((3,), 1.0, jnp.float32)])
 
     def cond(carry):
         return (carry[0] < max_iterations) & ~carry[-1]

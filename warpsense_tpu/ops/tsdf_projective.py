@@ -146,6 +146,19 @@ def _projective_sweep_xla(state, rng_tab, endpoint, scanner_mm, rotation, *,
                           vfov_deg):
     """(new value, new weight) planes for the whole window."""
     gx, gy, gz = _global_coords(state.pos, state.offset, size)
+    return projective_sweep_coords(
+        gx, gy, gz, rng_tab, endpoint, scanner_mm, rotation, tau=tau,
+        resolution=resolution, channels=channels, columns=columns,
+        vfov_deg=vfov_deg)
+
+
+def projective_sweep_coords(gx, gy, gz, rng_tab, endpoint, scanner_mm,
+                            rotation, *, tau, resolution, channels, columns,
+                            vfov_deg):
+    """The sweep over an arbitrary box of global voxel coordinates — the
+    shared core of the full-window sweep above and the per-shard sweep in
+    parallel/sharded.py (each shard passes its own gx slice; the beam table
+    is replicated, so the sweep needs no communication at all)."""
     cx = (gx * resolution + resolution // 2 - scanner_mm[0]).astype(jnp.float32)
     cy = (gy * resolution + resolution // 2 - scanner_mm[1]).astype(jnp.float32)
     cz = (gz * resolution + resolution // 2 - scanner_mm[2]).astype(jnp.float32)

@@ -35,9 +35,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.consts import MATRIX_RESOLUTION, WEIGHT_RESOLUTION
 from ..core.geometry import div_trunc, transform_point_fixed, xi_to_transform
-from ..map.local_map import LocalMapState
-from ..ops.registration import _SC, _SG
+from ..map.local_map import LocalMapState, in_bounds
+from ..ops.registration import (_SC, _SG, PackedFields, PackedFields2,
+                                _lm_loop, _pack16, make_packed_stats,
+                                packed_plane_from_neighbors)
 from ..ops.tsdf import _SENTINEL, _floor_norm, decode_key, encode_key
+from ..ops.tsdf_projective import (_merge_planes, build_beam_table,
+                                   projective_sweep_coords)
 from ..ops.tsdf_reference import dz_per_distance
 
 
@@ -322,12 +326,201 @@ def _floor_norm_f(v: jax.Array) -> jax.Array:
     return k
 
 
+# ===================================================================== fast
+# Production-generation sharded layer: the packed-fields / adaptive-LM /
+# interpolated-residual registration and the projective fusion sweep — the
+# same algorithms the single-chip pipeline runs (ops/registration.py
+# register_cloud_packed, ops/tsdf_projective.py), sharded over the mesh.
+# The parity-generation functions above are kept as the exact-semantics
+# twins (the role ops/tsdf.py plays on one chip).
+
+def _halo_neighbors_x(v, w, axis: str, n: int):
+    """(nv, pv, nw, pw) along the PARTITIONED array x-axis via one
+    ppermute halo exchange each way (the torus wrap of the ring buffer is
+    exactly the mesh ring)."""
+    vh = _halo_exchange_x(v, axis, n)
+    wh = _halo_exchange_x(w, axis, n)
+    return vh[2:], vh[:-2], wh[2:], wh[:-2]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "tau", "exact"))
+def precompute_fields_packed_sharded(state: LocalMapState, *, mesh: Mesh,
+                                     tau: int, exact: bool = False):
+    """Sharded twin of ops.registration.precompute_fields_packed[2]: the
+    value/gradient pack runs per-shard (pure local bandwidth); only the two
+    boundary YZ-planes of (value, weight) ride ICI (ppermute).  Output
+    plane(s) carry the same x-block sharding as the map state."""
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    blk = P("x", None, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(blk, blk),
+        out_specs=(blk, blk) if exact else blk,
+    )
+    def pack_blk(value_blk, weight_blk):
+        v = value_blk.astype(jnp.int32)
+        w = weight_blk.astype(jnp.int32)
+        neighbors = [_halo_neighbors_x(v, w, axis, n)]
+        for ax in (1, 2):
+            neighbors.append((jnp.roll(v, -1, axis=ax),
+                              jnp.roll(v, 1, axis=ax),
+                              jnp.roll(w, -1, axis=ax),
+                              jnp.roll(w, 1, axis=ax)))
+        if exact:
+            grads = []
+            for nv, pv, nw, pw in neighbors:
+                ok = (nw != 0) & (pw != 0)
+                grads.append(jnp.where(ok, div_trunc(nv - pv, 2), 0))
+            vsent = jnp.where(w != 0, v, -32768)
+            return _pack16(vsent, grads[0]), _pack16(grads[1], grads[2])
+        return packed_plane_from_neighbors(v, w, neighbors, tau=tau)
+
+    if exact:
+        a, b = pack_blk(state.value, state.weight)
+        return PackedFields2(plane_a=a, plane_b=b)
+    return PackedFields(plane=pack_blk(state.value, state.weight))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "size", "resolution", "tau", "max_iterations",
+                     "interp"),
+)
+def register_cloud_packed_sharded(fields, pos, offset, points, mask,
+                                  pretransform, *, mesh: Mesh, size,
+                                  resolution: int, tau: int,
+                                  max_iterations: int, epsilon: float,
+                                  interp: bool = True):
+    """Distributed twin of ops.registration.register_cloud_packed — same
+    contract, returns ``(pose, iterations, err)``.
+
+    The packed plane stays x-block-sharded; points are replicated.  Each
+    shard gathers only the points whose cells it owns (1 local gather per
+    LM iteration) and the 27 normal-equation scalars are ``psum``-ed; the
+    adaptive-LM loop itself is replicated and bit-identical across devices
+    (all its inputs are the psum results).  Reference semantics being
+    scaled: src/warpsense/cuda/registration.cu:14-257."""
+    X, Y, Z = size
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    Xs = X // n
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("x", None, None), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    def run(fields_blk, pos, offset, pts, msk, pre):
+        shard = jax.lax.axis_index(axis)
+        szv = jnp.asarray(size)
+
+        def index_fn(buf):
+            a = jnp.mod(buf - pos + offset, szv)
+            owned = a[:, 0] // Xs == shard
+            local = (a[:, 0] - shard * Xs) * (Y * Z) + a[:, 1] * Z + a[:, 2]
+            return local, owned
+
+        local_stats = make_packed_stats(
+            fields_blk, pos, offset, pts, msk, size=size,
+            resolution=resolution, tau=tau, interp=interp, index_fn=index_fn)
+
+        def stats(total):
+            H, g, e, c = local_stats(total)
+            H, g, e, c = jax.lax.psum((H, g, e, c), axis)
+            return H, g, e, c
+
+        return _lm_loop(stats, pre, max_iterations=max_iterations,
+                        epsilon=epsilon)
+
+    return run(fields, pos, offset, points, mask,
+               pretransform.astype(jnp.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "size", "tau", "max_weight", "resolution",
+                     "channels", "columns", "vfov_deg"),
+    donate_argnames=("state",),
+)
+def tsdf_update_projective_sharded(
+        state: LocalMapState, points, points_mask, scanner_pos, rotation, *,
+        mesh: Mesh, size, tau, max_weight, resolution, channels: int = 128,
+        columns: int = 1024, vfov_deg: float = 45.0) -> LocalMapState:
+    """Distributed twin of ops.tsdf_projective.tsdf_update_projective — the
+    production fusion path at mesh scale.  The beam table (~131K entries)
+    is computed replicated (it is tiny); the O(voxels) sweep + averaging
+    merge — the HBM roofline term (cu_avg_tsdf_krnl touches every voxel,
+    update_tsdf.cu:13-43) — runs per-shard with ZERO communication: each
+    shard sweeps its own x-slab of global coordinates."""
+    X, Y, Z = size
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    Xs = X // n
+    scanner_mm = scanner_pos * resolution + resolution // 2
+    cell = jnp.floor_divide(points, resolution)
+    points_mask = points_mask & in_bounds(
+        cell, state.pos, jnp.asarray(size), -(tau // resolution // 2))
+    rng_tab, endpoint = build_beam_table(
+        points, points_mask, scanner_mm, rotation, channels=channels,
+        columns=columns, vfov_deg=vfov_deg)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("x", None, None), P("x", None, None), P(), P(), P(), P(),
+                  P(), P()),
+        out_specs=(P("x", None, None), P("x", None, None)),
+    )
+    def fuse(value_blk, weight_blk, pos, offset, rng_tab, endpoint, smm, rot):
+        shard = jax.lax.axis_index(axis)
+        ax = shard * Xs + jnp.arange(Xs)
+        gx = pos[0] + jnp.mod(ax - offset[0] + X // 2, X) - X // 2
+        gy = pos[1] + jnp.mod(jnp.arange(Y) - offset[1] + Y // 2, Y) - Y // 2
+        gz = pos[2] + jnp.mod(jnp.arange(Z) - offset[2] + Z // 2, Z) - Z // 2
+        new_v, new_w = projective_sweep_coords(
+            gx, gy, gz, rng_tab, endpoint, smm, rot, tau=tau,
+            resolution=resolution, channels=channels, columns=columns,
+            vfov_deg=vfov_deg)
+        out_v, out_w = _merge_planes(value_blk.astype(jnp.int32),
+                                     weight_blk.astype(jnp.int32),
+                                     new_v, new_w, max_weight)
+        return out_v.astype(jnp.int16), out_w.astype(jnp.int16)
+
+    value, weight = fuse(state.value, state.weight, state.pos, state.offset,
+                         rng_tab, endpoint, scanner_mm, rotation)
+    return LocalMapState(value=value, weight=weight, pos=state.pos,
+                         offset=state.offset)
+
+
 def slam_step_sharded(state: LocalMapState, points, mask, pretransform, *,
-                      mesh: Mesh, params, size, max_steps, max_isteps,
-                      scanner_pos, up, mode: str = "parity"):
+                      mesh: Mesh, params, size, max_steps=None,
+                      max_isteps=None, scanner_pos=None, up=None,
+                      mode: str = "parity"):
     """One full SLAM step (fusion + registration) on the mesh — the unit
-    the driver dry-runs and the multi-chip pipeline executes per scan."""
+    the driver dry-runs and the multi-chip pipeline executes per scan.
+
+    ``mode="fast"`` runs the PRODUCTION generation (projective fusion +
+    packed fields + adaptive-LM registration — the same algorithms as the
+    single-chip fast pipeline); ``"parity"`` keeps the reference-exact
+    ray-march + un-normalized-gradient GN twins."""
     m = params.map
+    if mode == "fast":
+        # level beam grid (identity attitude), matching the single-chip
+        # pipeline's production configuration (pipeline/warpsense.py)
+        state = tsdf_update_projective_sharded(
+            state, points, mask, scanner_pos, jnp.eye(3, dtype=jnp.float32),
+            mesh=mesh, size=size, tau=m.tau,
+            max_weight=m.max_weight_scaled, resolution=m.resolution,
+            channels=params.lidar.channels,
+            columns=params.lidar.hresolution, vfov_deg=params.lidar.vfov)
+        fields = precompute_fields_packed_sharded(state, mesh=mesh, tau=m.tau)
+        pose, _iters, _err = register_cloud_packed_sharded(
+            fields, state.pos, state.offset, points, mask, pretransform,
+            mesh=mesh, size=size, resolution=m.resolution, tau=m.tau,
+            max_iterations=params.registration.max_iterations,
+            epsilon=params.registration.epsilon)
+        return state, pose
     state = tsdf_update_sharded(
         state, points, mask, scanner_pos, up, mesh=mesh, size=size,
         tau=m.tau, max_weight=m.max_weight_scaled, resolution=m.resolution,

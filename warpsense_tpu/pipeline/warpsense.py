@@ -107,7 +107,9 @@ class WarpsenseApp:
         self.path: list[np.ndarray] = []
 
         self._shift_thread = None
+        self._shift_error: BaseException | None = None
         self._pending_fusion: list = []
+        self._rng = np.random.default_rng(0)
         self.imu_buffer = ConcurrentRingBuffer(1000)
         self.imu_filter = SlidingWindowFilter(10)
         self.imu_acc = ImuAccumulator(self.imu_buffer)
@@ -138,9 +140,10 @@ class WarpsenseApp:
         m = self.params.map
         flat = np.ascontiguousarray(cloud_m.reshape(-1, 3))
         if len(flat) > self.capacity:
-            # static-shape budget: random stride subsample like VoxelGrid
-            stride = int(np.ceil(len(flat) / self.capacity))
-            flat = flat[::stride]
+            # static-shape budget: uniform random subsample (a stride on an
+            # organized scan would alias azimuth columns systematically)
+            keep = self._rng.choice(len(flat), self.capacity, replace=False)
+            flat = flat[np.sort(keep)]
         pad = np.zeros((self.capacity - len(flat), 3), np.float32)
         cloud = jnp.asarray(np.concatenate([flat, pad]), jnp.float32)
         valid = jnp.asarray(
@@ -249,8 +252,11 @@ class WarpsenseApp:
                 pts, to_int_mat(jnp.asarray(transform)))
             if self._shift_thread is not None:
                 # window swap in flight: queue (fused after the swap, like
-                # the reference's Mapping during shift, mapping.cpp:115-129)
-                self._pending_fusion.append((pts_ref, mask))
+                # the reference's Mapping during shift, mapping.cpp:115-129).
+                # The capture pose rides along: the projective ray origin
+                # must be the pose the scan was taken at, not the pose at
+                # flush time.
+                self._pending_fusion.append((pts_ref, mask, self.pose.copy()))
             else:
                 self._update_tsdf(pts_ref, mask)
             if prof:
@@ -266,10 +272,14 @@ class WarpsenseApp:
         return self.pose.copy()
 
     # -------------------------------------------------------------- internals
-    def _update_tsdf(self, pts, mask) -> None:
+    def _update_tsdf(self, pts, mask, pose: np.ndarray | None = None) -> None:
+        """Fuse a (map-frame) cloud captured at ``pose`` (default: the
+        current pose) — the pose fixes the projective ray origin."""
         m = self.params.map
+        if pose is None:
+            pose = self.pose
         scanner_pos = jnp.asarray(
-            np.floor(self.pose[:3, 3] / m.resolution).astype(np.int32))
+            np.floor(pose[:3, 3] / m.resolution).astype(np.int32))
         fusion = self.fusion
         if fusion == "auto":
             import jax
@@ -288,7 +298,7 @@ class WarpsenseApp:
             # Pallas path always bins on a map-aligned grid; the XLA twin
             # keeps the sensor attitude for reference-exact behavior.
             grid_rot = (jnp.eye(3, dtype=jnp.float32) if fusion == "pallas"
-                        else jnp.asarray(self.pose[:3, :3], jnp.float32))
+                        else jnp.asarray(pose[:3, :3], jnp.float32))
             extra = {"identity_rot": True} if fusion == "pallas" else {}
             self.state = update(
                 self.state, pts, mask, scanner_pos,
@@ -299,7 +309,7 @@ class WarpsenseApp:
                 columns=self.params.lidar.hresolution,
                 vfov_deg=self.params.lidar.vfov, **extra)
         else:
-            int_rot = to_int_mat(jnp.asarray(self.pose))
+            int_rot = to_int_mat(jnp.asarray(pose))
             up = transform_point_fixed(
                 jnp.asarray([0, 0, MATRIX_RESOLUTION], jnp.int32),
                 int_rot.at[:3, 3].set(0))
@@ -321,12 +331,18 @@ class WarpsenseApp:
             return
         t.join()
         self._shift_thread = None
+        if self._shift_error is not None:
+            # surface worker failures instead of silently swapping in a
+            # half-shifted window; allow a retry at the next gate
+            err, self._shift_error = self._shift_error, None
+            self.last_shift_pose = self._pre_shift_pose
+            raise RuntimeError("async map shift failed") from err
         self.state = self.local_map.detach_device()
         self.shifted = True
         self._fields = None      # window moved: registration fields stale
         pending, self._pending_fusion = self._pending_fusion, []
-        for pts, mask in pending:
-            self._update_tsdf(pts, mask)
+        for pts, mask, pose in pending:
+            self._update_tsdf(pts, mask, pose=pose)
 
     def _maybe_shift(self) -> None:
         """Shift the ring-buffer window once the pose wandered >= map.shift
@@ -349,6 +365,7 @@ class WarpsenseApp:
             (self.last_shift_pose[:3, 3] - self.pose[:3, 3]) / 1000.0)
         if dist < m.shift:
             return
+        self._pre_shift_pose = self.last_shift_pose
         self.last_shift_pose = self.pose.copy()
         new_pos = np.floor(self.pose[:3, 3] / m.resolution).astype(np.int64)
         if self.params.registration.mode == "fast":
@@ -356,7 +373,10 @@ class WarpsenseApp:
             self.local_map.attach_device(self.state)
 
             def work():
-                self.local_map.shift(new_pos)
+                try:
+                    self.local_map.shift(new_pos)
+                except BaseException as e:      # surfaced in _collect_shift
+                    self._shift_error = e
             self._shift_thread = threading.Thread(target=work, daemon=True)
             self._shift_thread.start()
             return
