@@ -1,6 +1,6 @@
 """Benchmark: full warpsense per-scan step on one chip at reference scale.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "scaling"}.
 
 Workload = the reference's UOS Parking Lot configuration (README.md:309-328):
 40 x 40 x 15 m window @ 64 mm voxels (~91M voxels), tau 600 mm, ~32K
@@ -19,20 +19,41 @@ iteration count of a representative registration, and the featsense front
 end (features + odometry) per-scan time against its 13-42 ms CPU baseline
 (README.md:285-297).
 
+``scaling``: scans/s scaling efficiency of the SHARDED fast SLAM step
+(parallel/sharded.py) on a virtual CPU mesh, measured in a subprocess
+(JAX_PLATFORMS=cpu).  The stand-in for BASELINE.md's 2-host v5e target —
+this image exposes one TPU chip and 2 CPU cores, so the honest curve stops
+at 2 devices (more virtual devices than cores measures oversubscription,
+not scaling).
+
 Timing methodology: on the tunneled TPU platform every awaited op pays a
 ~25 ms host<->device round trip, so each stage is a K-iteration
 ``lax.fori_loop`` INSIDE one jitted function with a data dependence between
 iterations, awaited once; the round-trip cost (measured on a trivial op) is
 subtracted.
+
+The loop builders are module-level and size-parameterized so
+tests/test_bench.py can compile-check every one of them at a tiny window
+on CPU in CI — API drift can never again silently kill the bench (the
+round-2 bench died on an unexecuted refactor, VERDICT round 2).
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_SCANS_PER_S = 62.5
 FEATSENSE_BASELINE_MS = 13.0     # i7-4790K, UOS Lab @20 Hz
-K = 12          # chained iterations inside each timed jit
+
+# reference scale: UOS Parking Lot, 40 x 40 x 15 m @ 64 mm
+FULL = dict(size=(625, 625, 235), tau=600, res=64, n=32766, k=12,
+            channels=128, columns=1024, vfov_deg=45.0, max_iterations=50)
+# tiny CI smoke scale (33^3-class window; see tests/test_bench.py)
+TINY = dict(size=(33, 33, 33), tau=600, res=64, n=384, k=2,
+            channels=16, columns=64, vfov_deg=45.0, max_iterations=4)
 
 
 def room_cloud(n, half=18000, zhalf=6000, seed=0):
@@ -70,7 +91,14 @@ def organized_room_scan(channels=128, columns=1024, half=18.0, zhalf=6.0,
     return pts.astype(np.float32)
 
 
-def main():
+def build_slam_loops(cfg, *, fusion="auto"):
+    """Jitted K-chained stage loops + inputs for the warpsense step.
+
+    Returns a dict with 'step', 'tsdf', 'fields', 'xor', 'reg_loop_fn',
+    'reg_once', and the prepared 'state'/'pts'/'mask' inputs.  Every loop
+    carries a true inter-iteration data dependence so XLA cannot hoist the
+    body out of the fori_loop.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -78,14 +106,23 @@ def main():
     from warpsense_tpu.map.local_map import LocalMapState
     from warpsense_tpu.ops.registration import (
         precompute_fields_packed_auto, register_cloud_packed)
-    from warpsense_tpu.kernels.tsdf_pallas import \
-        tsdf_update_projective_pallas as fuse
 
-    TAU, RES = 600, 64
-    SIZE = (625, 625, 235)          # 40 x 40 x 15 m @ 64 mm
-    N = 32766
+    if fusion == "auto":
+        fusion = "pallas" if jax.default_backend() == "tpu" else "projective"
+    if fusion == "pallas":
+        from warpsense_tpu.kernels.tsdf_pallas import \
+            tsdf_update_projective_pallas as fuse_op
+        extra = dict(identity_rot=True)
+    else:
+        from warpsense_tpu.ops.tsdf_projective import \
+            tsdf_update_projective as fuse_op
+        extra = {}
 
-    pts = jnp.asarray(room_cloud(N))
+    SIZE, TAU, RES, N, K = (cfg["size"], cfg["tau"], cfg["res"], cfg["n"],
+                            cfg["k"])
+    half = min(SIZE[0], SIZE[1]) * RES * 45 // 100
+    zhalf = SIZE[2] * RES * 40 // 100
+    pts = jnp.asarray(room_cloud(N, half=half, zhalf=zhalf))
     mask = jnp.ones((N,), bool)
     state = LocalMapState(
         value=jnp.full(SIZE, TAU, jnp.int16),
@@ -94,14 +131,228 @@ def main():
         offset=jnp.asarray([s // 2 for s in SIZE], jnp.int32))
     R = jnp.eye(3, dtype=jnp.float32)
     tsdf_kw = dict(size=SIZE, tau=TAU, max_weight=32 * WEIGHT_RESOLUTION,
-                   resolution=RES, channels=128, columns=1024, vfov_deg=45.0,
-                   identity_rot=True)
-    reg_kw = dict(size=SIZE, resolution=RES, tau=TAU, max_iterations=50,
+                   resolution=RES, channels=cfg["channels"],
+                   columns=cfg["columns"], vfov_deg=cfg["vfov_deg"], **extra)
+    reg_kw = dict(size=SIZE, resolution=RES, tau=TAU,
+                  max_iterations=cfg["max_iterations"],
                   it_weight_gradient=0.1, epsilon=0.03)
     pert = np.eye(4, dtype=np.float32)
-    pert[:3, 3] = [80, -60, 40]
+    pert[:3, 3] = np.asarray([80, -60, 40]) * RES // 64
     pert = jnp.asarray(pert)
     origin = jnp.zeros(3, jnp.int32)
+
+    def fuse(st, spos):
+        return fuse_op(st, pts, mask, spos, R, **tsdf_kw)
+
+    # --- full chained SLAM step: fuse -> fields -> register, pose fed back
+    @jax.jit
+    def step_loop(state, pose0):
+        def body(_, carry):
+            st, pose = carry
+            spos = (pose[:3, 3] / RES).astype(jnp.int32)
+            st = fuse(st, spos)
+            fields = precompute_fields_packed_auto(st, tau=TAU)
+            pose, iters, err = register_cloud_packed(
+                fields, st.pos, st.offset, pts, mask, pose @ pert, **reg_kw)
+            return st, pose
+        st, pose = jax.lax.fori_loop(0, K, body, (state, pose0))
+        return (jnp.sum(st.value[:2, :2, :2].astype(jnp.int32))
+                + jnp.sum(pose))
+
+    # --- per-stage loops, each with a true inter-iteration dependence
+    @jax.jit
+    def tsdf_loop(state):
+        def body(_, st):
+            return fuse(st, origin)
+        st = jax.lax.fori_loop(0, K, body, state)
+        return jnp.sum(st.value[:2, :2, :2].astype(jnp.int32))
+
+    @jax.jit
+    def fields_loop(state):
+        def body(_, carry):
+            val, acc = carry
+            val = val ^ (acc & 1).astype(jnp.int16)
+            st = LocalMapState(val, state.weight, state.pos, state.offset)
+            f = precompute_fields_packed_auto(st, tau=TAU)
+            return val, acc + f.plane.reshape(-1)[0]
+        _, acc = jax.lax.fori_loop(0, K, body, (state.value, jnp.int32(0)))
+        return acc
+
+    @jax.jit
+    def xor_loop(state):
+        def body(_, carry):
+            val, acc = carry
+            val = val ^ (acc & 1).astype(jnp.int16)
+            return val, acc + val[0, 0, 0].astype(jnp.int32)
+        _, acc = jax.lax.fori_loop(0, K, body, (state.value, jnp.int32(0)))
+        return acc
+
+    @jax.jit
+    def reg_loop(fields, pos, offset):
+        def body(_, carry):
+            pose, it_acc = carry
+            out, iters, err = register_cloud_packed(
+                fields, pos, offset, pts, mask, pose @ pert, **reg_kw)
+            return out, it_acc + iters
+        pose, it_acc = jax.lax.fori_loop(
+            0, K, body, (jnp.eye(4, dtype=jnp.float32), jnp.int32(0)))
+        return jnp.sum(pose) + it_acc.astype(jnp.float32)
+
+    def precompute(st):
+        return precompute_fields_packed_auto(st, tau=TAU)
+
+    def reg_once(fields, st):
+        return register_cloud_packed(fields, st.pos, st.offset, pts, mask,
+                                     pert, **reg_kw)
+
+    return dict(step=step_loop, tsdf=tsdf_loop, fields=fields_loop,
+                xor=xor_loop, reg=reg_loop, precompute=precompute,
+                reg_once=reg_once, state=state, pts=pts, mask=mask, k=K)
+
+
+def build_featsense_loops(cfg):
+    """Jitted K-chained featsense front-end loops (features + odometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from warpsense_tpu.frontends.featsense.features import extract_features
+    from warpsense_tpu.frontends.featsense.odometry import (
+        empty_map, merge_map, odom_update)
+
+    K = cfg["k"]
+    scan = jnp.asarray(organized_room_scan(
+        channels=cfg["channels"], columns=max(cfg["columns"], 64),
+        vfov_deg=cfg["vfov_deg"]))
+
+    @jax.jit
+    def feat_loop(scan):
+        def body(_, carry):
+            sc, acc = carry
+            sc = sc + acc * 1e-12
+            (e, em, _), (s, sm, _) = extract_features(sc)
+            return sc, acc + jnp.sum(e[0]) * 0.0 + em.sum().astype(jnp.float32)
+        _, acc = jax.lax.fori_loop(0, K, body, (scan, jnp.float32(0)))
+        return acc
+
+    (e, em, _), (s, sm, _) = extract_features(scan)
+    center = jnp.zeros(3, jnp.float32)
+    emap = merge_map(empty_map(8192), e, em, center, crop=100.0, leaf=0.4)
+    smap = merge_map(empty_map(16384), s, sm, center, crop=100.0, leaf=0.4)
+    q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def odom_loop(e, em, s, sm):
+        def body(_, carry):
+            q, t = carry
+            q, t = odom_update(emap, smap, e, em, s, sm, q, t, jnp.int32(2))
+            return q, t
+        q, t = jax.lax.fori_loop(0, K, body, (q0, t0))
+        return jnp.sum(q) + jnp.sum(t)
+
+    return dict(feat=feat_loop, odom=odom_loop, scan=scan,
+                features=(e, em, s, sm), k=K)
+
+
+# ------------------------------------------------------------------ scaling
+
+SCALING_CFG = dict(size=(256, 129, 129), tau=600, res=64, n=8190, k=3,
+                   channels=64, columns=256, vfov_deg=45.0, max_iterations=12)
+
+
+def sharded_step_time(n_devices: int, cfg=SCALING_CFG, reps: int = 3):
+    """Seconds per sharded fast SLAM step on an n-device mesh (current
+    backend).  Used by the scaling subprocess and tests/test_bench.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from warpsense_tpu.core.config import Params
+    from warpsense_tpu.map.local_map import LocalMapState
+    from warpsense_tpu.parallel.sharded import (make_mesh, shard_state,
+                                                slam_step_sharded)
+
+    SIZE, TAU, RES, K = cfg["size"], cfg["tau"], cfg["res"], cfg["k"]
+    mesh = make_mesh(n_devices)
+    params = Params.from_dict({
+        "map": {"max_distance": TAU / 1000.0, "resolution": RES,
+                "max_weight": 32},
+        "registration": {"max_iterations": cfg["max_iterations"],
+                         "epsilon": 0.03, "it_weight_gradient": 0.1},
+        "lidar": {"channels": cfg["channels"],
+                  "hresolution": cfg["columns"]},
+    })
+    half = min(SIZE[0], SIZE[1]) * RES * 45 // 100
+    pts = jnp.asarray(room_cloud(cfg["n"], half=half,
+                                 zhalf=SIZE[2] * RES * 40 // 100))
+    mask = jnp.ones((pts.shape[0],), bool)
+
+    def fresh():
+        # rebuilt per rep: the sharded fusion donates its state buffers
+        return shard_state(LocalMapState(
+            value=jnp.full(SIZE, TAU, jnp.int16),
+            weight=jnp.zeros(SIZE, jnp.int16),
+            pos=jnp.zeros(3, jnp.int32),
+            offset=jnp.asarray([s // 2 for s in SIZE], jnp.int32)), mesh)
+
+    def run(st):
+        for _ in range(K):
+            st, pose = slam_step_sharded(
+                st, pts, mask, jnp.eye(4, dtype=jnp.float32), mesh=mesh,
+                params=params, size=SIZE,
+                scanner_pos=jnp.zeros(3, jnp.int32), mode="fast")
+        return st, pose
+
+    st, pose = run(fresh())        # compile + warm
+    jax.block_until_ready((st.value, pose))
+    best = float("inf")
+    for _ in range(reps):
+        state = jax.block_until_ready(fresh())
+        t0 = time.perf_counter()
+        st, pose = run(state)
+        jax.block_until_ready((st.value, pose))
+        best = min(best, time.perf_counter() - t0)
+    return best / K
+
+
+def _scaling_worker(n_devices: int) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", max(n_devices, 2))
+    print(json.dumps({"n": n_devices, "sec": sharded_step_time(n_devices)}))
+
+
+def measure_scaling(max_devices: int | None = None):
+    """{'devices': [...], 'scans_per_s': [...], 'efficiency': ...} from CPU
+    subprocesses (one per mesh size; fresh process so jax_platforms can be
+    forced before any backend use)."""
+    cores = len(os.sched_getaffinity(0))
+    max_devices = max_devices or max(2, min(cores, 8))
+    sizes = [n for n in (1, 2, 4, 8) if n <= max_devices]
+    out = {"devices": [], "scans_per_s": []}
+    for n in sizes:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--scaling-worker", str(n)],
+            capture_output=True, text=True, timeout=1200)
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        if r.returncode != 0 or not line.startswith("{"):
+            return {"error": (r.stderr or "no output")[-400:]}
+        d = json.loads(line)
+        out["devices"].append(d["n"])
+        out["scans_per_s"].append(round(1.0 / d["sec"], 3))
+    s = out["scans_per_s"]
+    out["efficiency"] = round(s[-1] / (s[0] * out["devices"][-1]), 3)
+    out["note"] = (f"virtual CPU mesh on {cores} cores (stand-in for the "
+                   "2-host v5e target; one TPU chip is attached)")
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    loops = build_slam_loops(FULL)
+    K = loops["k"]
 
     def await_scalar(x):
         return float(np.asarray(x))        # forces real device completion
@@ -126,113 +377,25 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return max(best - rtt, 1e-9) / K
 
-    # --- full chained SLAM step: fuse -> fields -> register, pose fed back
-    @jax.jit
-    def step_loop(state, pose0):
-        def body(_, carry):
-            st, pose = carry
-            spos = (pose[:3, 3] / RES).astype(jnp.int32)
-            st = fuse(st, pts, mask, spos, R, **tsdf_kw)
-            fields = precompute_fields_packed_auto(st, tau=TAU)
-            pose, iters, err = register_cloud_packed(
-                fields, st.pos, st.offset, pts, mask, pose @ pert, **reg_kw)
-            return st, pose
-        st, pose = jax.lax.fori_loop(0, K, body, (state, pose0))
-        return (jnp.sum(st.value[:2, :2, :2].astype(jnp.int32))
-                + jnp.sum(pose))
+    # warm state: one fusion so fields/registration see a non-empty map
+    warm = jax.block_until_ready(_single_fusion(loops, loops["state"]))
 
-    # --- per-stage loops, each with a true inter-iteration dependence
-    @jax.jit
-    def tsdf_loop(state):
-        def body(_, st):
-            return fuse(st, pts, mask, origin, R, **tsdf_kw)
-        st = jax.lax.fori_loop(0, K, body, state)
-        return jnp.sum(st.value[:2, :2, :2].astype(jnp.int32))
-
-    @jax.jit
-    def fields_loop(state):
-        def body(_, carry):
-            val, acc = carry
-            val = val ^ (acc & 1).astype(jnp.int16)
-            st = LocalMapState(val, state.weight, state.pos, state.offset)
-            f = precompute_fields_packed_auto(st, tau=TAU)
-            return val, acc + f.plane.reshape(-1)[0]
-        _, acc = jax.lax.fori_loop(0, K, body, (state.value, jnp.int32(0)))
-        return acc
-
-    @jax.jit
-    def xor_loop(state):
-        def body(_, carry):
-            val, acc = carry
-            val = val ^ (acc & 1).astype(jnp.int16)
-            return val, acc + val[0, 0, 0].astype(jnp.int32)
-        _, acc = jax.lax.fori_loop(0, K, body, (state.value, jnp.int32(0)))
-        return acc
-
-    def reg_loop_fn(fields, pos, offset):
-        @jax.jit
-        def reg_loop(fields, pos, offset):
-            def body(_, carry):
-                pose, it_acc = carry
-                out, iters, err = register_cloud_packed(
-                    fields, pos, offset, pts, mask, pose @ pert, **reg_kw)
-                return out, it_acc + iters
-            pose, it_acc = jax.lax.fori_loop(
-                0, K, body, (jnp.eye(4, dtype=jnp.float32), jnp.int32(0)))
-            return jnp.sum(pose) + it_acc.astype(jnp.float32)
-        return reg_loop
-
-    warm = fuse(state, pts, mask, origin, R, **tsdf_kw)
-    warm = jax.block_until_ready(warm)
-    step_ms = timed(step_loop, warm, jnp.eye(4, dtype=jnp.float32)) * 1e3
-    tsdf_ms = timed(tsdf_loop, warm) * 1e3
-    xor_ms = timed(xor_loop, warm) * 1e3
-    fields_ms = max(timed(fields_loop, warm) * 1e3 - xor_ms, 0.0)
-    fields = jax.block_until_ready(
-        precompute_fields_packed_auto(warm, tau=TAU))
-    reg_ms = timed(reg_loop_fn(fields, warm.pos, warm.offset),
-                   fields, warm.pos, warm.offset) * 1e3
-    _, reg_iters, _ = register_cloud_packed(
-        fields, warm.pos, warm.offset, pts, mask, pert, **reg_kw)
+    step_ms = timed(loops["step"], warm, jnp.eye(4, dtype=jnp.float32)) * 1e3
+    tsdf_ms = timed(loops["tsdf"], warm) * 1e3
+    xor_ms = timed(loops["xor"], warm) * 1e3
+    fields_ms = max(timed(loops["fields"], warm) * 1e3 - xor_ms, 0.0)
+    fields = jax.block_until_ready(loops["precompute"](warm))
+    reg_ms = timed(loops["reg"], fields, warm.pos, warm.offset) * 1e3
+    _, reg_iters, _ = loops["reg_once"](fields, warm)
     reg_iters = int(reg_iters)
 
-    # --- featsense front end: features + odometry per scan
-    from warpsense_tpu.frontends.featsense.features import extract_features
-    from warpsense_tpu.frontends.featsense.odometry import (
-        empty_map, merge_map, odom_update)
-
-    scan = jnp.asarray(organized_room_scan())
-
-    @jax.jit
-    def feat_loop(scan):
-        def body(_, carry):
-            sc, acc = carry
-            sc = sc + acc * 1e-12
-            (e, em, _), (s, sm, _) = extract_features(sc)
-            return sc, acc + jnp.sum(e[0]) * 0.0 + em.sum().astype(jnp.float32)
-        _, acc = jax.lax.fori_loop(0, K, body, (scan, jnp.float32(0)))
-        return acc
-
-    feat_ms = timed(feat_loop, scan) * 1e3
-
-    (e, em, _), (s, sm, _) = extract_features(scan)
-    center = jnp.zeros(3, jnp.float32)
-    emap = merge_map(empty_map(8192), e, em, center, crop=100.0, leaf=0.4)
-    smap = merge_map(empty_map(16384), s, sm, center, crop=100.0, leaf=0.4)
-    q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
-    t0 = jnp.zeros(3, jnp.float32)
-
-    @jax.jit
-    def odom_loop(e, em, s, sm):
-        def body(_, carry):
-            q, t = carry
-            q, t = odom_update(emap, smap, e, em, s, sm, q, t, jnp.int32(2))
-            return q, t
-        q, t = jax.lax.fori_loop(0, K, body, (q0, t0))
-        return jnp.sum(q) + jnp.sum(t)
-
-    odom_ms = timed(odom_loop, e, em, s, sm) * 1e3
+    feat = build_featsense_loops(FULL)
+    e, em, s, sm = feat["features"]
+    feat_ms = timed(feat["feat"], feat["scan"]) * 1e3
+    odom_ms = timed(feat["odom"], e, em, s, sm) * 1e3
     featsense_ms = feat_ms + odom_ms
+
+    scaling = measure_scaling()
 
     scans_per_s = 1000.0 / step_ms
     print(json.dumps({
@@ -246,8 +409,35 @@ def main():
                    tsdf_ms + fields_ms + reg_ms, featsense_ms, feat_ms,
                    odom_ms, rtt * 1e3),
         "vs_baseline": round(scans_per_s / BASELINE_SCANS_PER_S, 3),
+        "scaling": scaling,
     }))
 
 
+def _single_fusion(loops, state, cfg=None):
+    """One un-looped fusion using the same op the loops use (warm-up)."""
+    import jax
+    import jax.numpy as jnp
+    from warpsense_tpu.core.consts import WEIGHT_RESOLUTION
+
+    cfg = cfg or FULL
+    if jax.default_backend() == "tpu":
+        from warpsense_tpu.kernels.tsdf_pallas import \
+            tsdf_update_projective_pallas as fuse_op
+        extra = dict(identity_rot=True)
+    else:
+        from warpsense_tpu.ops.tsdf_projective import \
+            tsdf_update_projective as fuse_op
+        extra = {}
+    return fuse_op(state, loops["pts"], loops["mask"],
+                   jnp.zeros(3, jnp.int32), jnp.eye(3, dtype=jnp.float32),
+                   size=cfg["size"], tau=cfg["tau"],
+                   max_weight=32 * WEIGHT_RESOLUTION, resolution=cfg["res"],
+                   channels=cfg["channels"], columns=cfg["columns"],
+                   vfov_deg=cfg["vfov_deg"], **extra)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--scaling-worker":
+        _scaling_worker(int(sys.argv[2]))
+    else:
+        main()

@@ -1,0 +1,304 @@
+"""Break down the 20 ms Pallas fusion into stages on the real chip."""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+import functools
+import math
+
+import sys
+sys.path.insert(0, "/root/repo")
+from warpsense_tpu.core.consts import WEIGHT_RESOLUTION
+from warpsense_tpu.map.local_map import LocalMapState, in_bounds
+from warpsense_tpu.ops.tsdf_projective import (_global_coords,
+                                               build_beam_table)
+from warpsense_tpu.kernels import tsdf_pallas as tp
+from bench import room_cloud
+
+K = 8
+TAU, RES = 600, 64
+SIZE = (625, 625, 235)
+N = 32766
+CH, COLS = 128, 1024
+X, Y, Z = SIZE
+
+pts = jnp.asarray(room_cloud(N))
+mask = jnp.ones((N,), bool)
+state = LocalMapState(
+    value=jnp.full(SIZE, TAU, jnp.int16),
+    weight=jnp.zeros(SIZE, jnp.int16),
+    pos=jnp.zeros(3, jnp.int32),
+    offset=jnp.asarray([s // 2 for s in SIZE], jnp.int32))
+
+
+def await_s(x):
+    return float(np.asarray(x))
+
+
+tiny = jnp.zeros((8, 128), jnp.float32)
+triv = jax.jit(jnp.sum)
+for _ in range(2):
+    await_s(triv(tiny))
+rtt = min((lambda t0: (await_s(triv(tiny)), time.perf_counter() - t0)[1])(
+    time.perf_counter()) for _ in range(5))
+print(f"rtt {rtt*1e3:.1f} ms", flush=True)
+
+
+def timed(fn, *args, reps=3):
+    await_s(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        await_s(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rtt, 1e-9) / K
+
+
+scanner_pos = jnp.zeros(3, jnp.int32)
+scanner_mm = scanner_pos * RES + RES // 2
+
+# ---- stage 1: beam table build
+@jax.jit
+def beam_loop(pts):
+    def body(_, carry):
+        p, acc = carry
+        cell = jnp.floor_divide(p, RES)
+        m = mask & in_bounds(cell, state.pos, jnp.asarray(SIZE),
+                             -(TAU // RES // 2))
+        rng_tab, endpoint = build_beam_table(
+            p, m, scanner_mm, jnp.eye(3, jnp.float32), channels=CH,
+            columns=COLS, vfov_deg=45.0)
+        acc = acc + jnp.sum(jnp.where(jnp.isfinite(rng_tab), rng_tab, 0.0))
+        return p + (acc.astype(jnp.int32) & 1), acc
+    _, acc = jax.lax.fori_loop(0, K, body, (pts, jnp.float32(0)))
+    return acc
+
+
+print(f"beam table: {timed(beam_loop, pts)*1e3:.2f} ms", flush=True)
+
+# ---- stage 2: mini build (XLA prep: col_c + row gather)
+rng_tab, endpoint = build_beam_table(
+    pts, mask, scanner_mm, jnp.eye(3, jnp.float32), channels=CH,
+    columns=COLS, vfov_deg=45.0)
+rel = endpoint - scanner_mm.astype(jnp.float32)
+rel = jnp.where(jnp.isfinite(rng_tab)[:, None], rel, jnp.inf)
+tab = rel.reshape(COLS, CH, 3)
+tab = jnp.pad(tab, ((0, 0), (0, 128 - CH), (0, 0)),
+              constant_values=jnp.inf)
+t3 = jnp.concatenate([tab[:, :, 0], tab[:, :, 1], tab[:, :, 2]], axis=-1)
+t3 = jax.block_until_ready(t3)
+
+gx, gy, gz = _global_coords(state.pos, state.offset, SIZE)
+cx = (gx * RES + RES // 2 - scanner_mm[0]).astype(jnp.float32)
+cy = (gy * RES + RES // 2 - scanner_mm[1]).astype(jnp.float32)
+cz = (gz * RES + RES // 2 - scanner_mm[2]).astype(jnp.float32)
+R = jnp.eye(3, jnp.float32)
+cxs = jnp.stack([cx, cx * R[0, 0], cx * R[0, 1], cx * R[0, 2]], axis=-1)
+cys = jnp.stack([cy, cy * R[1, 0], cy * R[1, 1], cy * R[1, 2]], axis=-1)
+czs = jnp.stack([cz, cz * R[2, 0], cz * R[2, 1], cz * R[2, 2]], axis=0)
+czs = jnp.pad(czs, ((0, 0), (0, 256 - Z)))
+
+
+@jax.jit
+def mini_loop(t3):
+    def body(_, carry):
+        t, acc = carry
+        zc = Z // 2
+        dsx_c = cxs[:, None, 1] + cys[None, :, 1] + czs[1, zc]
+        dsy_c = cxs[:, None, 2] + cys[None, :, 2] + czs[2, zc]
+        az_c = tp.atan2_poly(dsy_c, dsx_c)
+        col_c = jnp.mod(
+            jnp.round((az_c + math.pi) / (2 * math.pi) * COLS)
+            .astype(jnp.int32), COLS)
+        mini = t[col_c]
+        acc = acc + mini[0, 0, 0] + mini[-1, -1, -1]
+        t = t + (acc * 0.0)
+        return t, acc
+    _, acc = jax.lax.fori_loop(0, K, body, (t3, jnp.float32(0)))
+    return acc
+
+
+print(f"mini build (col_c + row gather): {timed(mini_loop, t3)*1e3:.2f} ms",
+      flush=True)
+
+# ---- stage 3: pallas kernel alone (prebuilt mini)
+zc = Z // 2
+dsx_c = cxs[:, None, 1] + cys[None, :, 1] + czs[1, zc]
+dsy_c = cxs[:, None, 2] + cys[None, :, 2] + czs[2, zc]
+az_c = tp.atan2_poly(dsy_c, dsx_c)
+col_c = jnp.mod(jnp.round((az_c + math.pi) / (2 * math.pi) * COLS)
+                .astype(jnp.int32), COLS)
+mini = t3[col_c]
+mini = jnp.concatenate([mini, col_c[..., None].astype(jnp.float32)],
+                       axis=-1)
+mini = jax.block_until_ready(mini)
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_YB = tp._YB
+_ZB = tp._ZB
+
+
+def make_pallas(kern_fn, yb=_YB):
+    kern = functools.partial(kern_fn, tau=TAU, max_weight=32 * WEIGHT_RESOLUTION,
+                             resolution=RES, channels=CH, columns=COLS,
+                             vfov_deg=45.0)
+    grid = (X, pl.cdiv(Y, yb))
+
+    @jax.jit
+    def run(mini, v, w):
+        def body(_, carry):
+            v, w, acc = carry
+            ov, ow = pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, yb, 3 * 128 + 1), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((yb, 4), lambda i, j: (j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((4, _ZB), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, yb, _ZB), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, yb, _ZB), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, yb, _ZB), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, yb, _ZB), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((X, Y, Z), jnp.int16),
+                    jax.ShapeDtypeStruct((X, Y, Z), jnp.int16),
+                ],
+            )(mini, cxs, cys, czs, v, w)
+            return ov, ow, acc + ov[0, 0, 0].astype(jnp.int32)
+        v, w, acc = jax.lax.fori_loop(0, K, body, (v, w, jnp.int32(0)))
+        return acc
+
+
+    return run
+
+
+run_level = make_pallas(tp._fusion_kernel_level)
+print(f"pallas level kernel alone: "
+      f"{timed(run_level, mini, state.value, state.weight)*1e3:.2f} ms",
+      flush=True)
+
+
+# ---- variant: level kernel without the lane gathers (constant beams)
+def _kernel_nogather(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref, w_ref,
+                     out_v_ref, out_w_ref, *, tau, max_weight, resolution,
+                     channels, columns, vfov_deg):
+    from warpsense_tpu.ops.tsdf_projective import (_merge_planes,
+                                                   _projective_math)
+    i = pl.program_id(0)
+    dx = cxs_ref[i, 0]
+    dy = cys_ref[:, 0:1]
+    dz = czs_ref[0:1, :]
+    rho2 = dx * dx + dy * dy
+    r_vox = jnp.sqrt(rho2 + dz * dz)
+    az = tp.atan2_poly(dy, dx + jnp.zeros_like(dy))
+    el = tp.atan2_poly(dz + jnp.zeros_like(dy),
+                       jnp.sqrt(rho2) + jnp.zeros_like(dz))
+    spacing = math.radians(vfov_deg) / (channels - 1)
+    half_v = math.radians(vfov_deg) / 2.0
+    ringf = (half_v - el) / spacing
+    ring = jnp.round(ringf).astype(jnp.int32)
+    ring_ok = (ring >= 0) & (ring < channels)
+    colf = (az + math.pi) / (2 * math.pi) * columns
+
+    mini = mini_ref[0]
+    # constant "beams": first lane of each plane broadcast
+    bx = mini[:, 0:1] + jnp.zeros_like(r_vox)
+    by = mini[:, 128:129] + jnp.zeros_like(r_vox)
+    bz = mini[:, 256:257] + jnp.zeros_like(r_vox)
+    r_beam = jnp.sqrt(bx * bx + by * by + bz * bz)
+    r_beam = jnp.where(jnp.isfinite(bx), r_beam, jnp.inf)
+
+    dxb = dx + jnp.zeros_like(r_vox)
+    dyb = dy + jnp.zeros_like(r_vox)
+    dzb = dz + jnp.zeros_like(r_vox)
+    new_v, new_w = _projective_math(
+        dxb, dyb, dzb, r_vox, ringf, ring, ring_ok, colf + jnp.zeros_like(
+            r_vox), r_beam, bx, by, bz, tau=tau, resolution=resolution,
+        channels=channels, columns=columns, vfov_deg=vfov_deg)
+    ev = v_ref[0].astype(jnp.int32)
+    ew = w_ref[0].astype(jnp.int32)
+    out_v, out_w = _merge_planes(ev, ew, new_v, new_w, max_weight)
+    out_v_ref[0] = out_v.astype(jnp.int16)
+    out_w_ref[0] = out_w.astype(jnp.int16)
+
+
+run_ng = make_pallas(_kernel_nogather)
+print(f"pallas level, NO lane gathers: "
+      f"{timed(run_ng, mini, state.value, state.weight)*1e3:.2f} ms",
+      flush=True)
+
+
+# ---- variant: pure copy kernel (traffic floor incl. mini read)
+def _kernel_copy(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref, w_ref,
+                 out_v_ref, out_w_ref, *, tau, max_weight, resolution,
+                 channels, columns, vfov_deg):
+    m = mini_ref[0]
+    out_v_ref[0] = (v_ref[0] + m[0, 0].astype(jnp.int16))
+    out_w_ref[0] = w_ref[0]
+
+
+run_cp = make_pallas(_kernel_copy)
+print(f"pallas copy floor (with mini): "
+      f"{timed(run_cp, mini, state.value, state.weight)*1e3:.2f} ms",
+      flush=True)
+
+
+# ---- variant: no el poly — linear ring approx (math cost probe)
+def _kernel_linel(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref, w_ref,
+                  out_v_ref, out_w_ref, *, tau, max_weight, resolution,
+                  channels, columns, vfov_deg):
+    from warpsense_tpu.ops.tsdf_projective import (_merge_planes,
+                                                   _projective_math)
+    i = pl.program_id(0)
+    dx = cxs_ref[i, 0]
+    dy = cys_ref[:, 0:1]
+    dz = czs_ref[0:1, :]
+    rho2 = dx * dx + dy * dy
+    r_vox = jnp.sqrt(rho2 + dz * dz)
+    az = tp.atan2_poly(dy, dx + jnp.zeros_like(dy))
+    el = (dz + jnp.zeros_like(dy)) / (jnp.sqrt(rho2) + jnp.zeros_like(dz)
+                                      + 1.0)    # fake: one div, no poly
+    spacing = math.radians(vfov_deg) / (channels - 1)
+    half_v = math.radians(vfov_deg) / 2.0
+    ringf = (half_v - el) / spacing
+    ring = jnp.round(ringf).astype(jnp.int32)
+    ring_ok = (ring >= 0) & (ring < channels)
+    colf = (az + math.pi) / (2 * math.pi) * columns
+
+    mini = mini_ref[0]
+    ridx = jnp.clip(ring, 0, channels - 1)
+    bx = tp._gather_lanes(mini[:, 0 * 128:1 * 128], ridx)
+    by = tp._gather_lanes(mini[:, 1 * 128:2 * 128], ridx)
+    bz = tp._gather_lanes(mini[:, 2 * 128:3 * 128], ridx)
+    r_beam = jnp.sqrt(bx * bx + by * by + bz * bz)
+    r_beam = jnp.where(jnp.isfinite(bx), r_beam, jnp.inf)
+    dxb = dx + jnp.zeros_like(r_vox)
+    dyb = dy + jnp.zeros_like(r_vox)
+    dzb = dz + jnp.zeros_like(r_vox)
+    new_v, new_w = _projective_math(
+        dxb, dyb, dzb, r_vox, ringf, ring, ring_ok, colf + jnp.zeros_like(
+            r_vox), r_beam, bx, by, bz, tau=tau, resolution=resolution,
+        channels=channels, columns=columns, vfov_deg=vfov_deg)
+    ev = v_ref[0].astype(jnp.int32)
+    ew = w_ref[0].astype(jnp.int32)
+    out_v, out_w = _merge_planes(ev, ew, new_v, new_w, max_weight)
+    out_v_ref[0] = out_v.astype(jnp.int16)
+    out_w_ref[0] = out_w.astype(jnp.int16)
+
+
+run_le = make_pallas(_kernel_linel)
+print(f"pallas level, linear-el probe: "
+      f"{timed(run_le, mini, state.value, state.weight)*1e3:.2f} ms",
+      flush=True)

@@ -1,0 +1,55 @@
+"""Tiny-size CPU smoke of every bench.py loop builder.
+
+The round-2 bench died on API drift in code that was never executed
+(VERDICT round 2, weak #1).  This test compiles and RUNS each jitted loop
+the bench times — at a 33^3-class window — so any signature drift in the
+ops the bench calls fails CI instead of the driver's perf run.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def loops():
+    return bench.build_slam_loops(bench.TINY, fusion="projective")
+
+
+def test_slam_stage_loops(loops):
+    import jax
+    import jax.numpy as jnp
+
+    warm = jax.block_until_ready(
+        bench._single_fusion(loops, loops["state"], cfg=bench.TINY))
+    assert int(np.count_nonzero(np.asarray(warm.weight))) > 100
+
+    out = float(loops["step"](warm, jnp.eye(4, dtype=jnp.float32)))
+    assert np.isfinite(out)
+    float(loops["tsdf"](warm))
+    float(loops["xor"](warm))
+    float(loops["fields"](warm))
+    fields = loops["precompute"](warm)
+    float(loops["reg"](fields, warm.pos, warm.offset))
+    pose, iters, err = loops["reg_once"](fields, warm)
+    assert pose.shape == (4, 4) and int(iters) >= 1
+
+
+def test_featsense_loops():
+    feat = bench.build_featsense_loops(bench.TINY)
+    e, em, s, sm = feat["features"]
+    assert np.isfinite(float(feat["feat"](feat["scan"])))
+    assert np.isfinite(float(feat["odom"](e, em, s, sm)))
+
+
+def test_sharded_step_time_smoke():
+    # the scaling worker's measurement body on a tiny window, 2 devices
+    cfg = dict(bench.SCALING_CFG, size=(32, 33, 33), n=384, k=1,
+               channels=16, columns=64, max_iterations=2)
+    sec = bench.sharded_step_time(2, cfg=cfg, reps=1)
+    assert sec > 0.0

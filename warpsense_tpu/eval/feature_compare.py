@@ -1,12 +1,17 @@
-"""feature_compare: featsense feature extraction, device op vs host twin.
+"""feature_compare: featsense features vs host twin vs ORIGINAL F-LOAM.
 
 Equivalent of the reference's ``feature_compare_node``
 (/root/reference/test/feature_compare.cpp), which publishes edge/surf
 features from the vendored original F-LOAM and the featsense variants on
-one cloud for visual RViz comparison.  Here the comparison is quantified:
-the vectorized device op and the loop-exact host twin run on the same
-organized scan and the driver reports per-class counts, index overlap, and
-(optionally) exports both feature sets as PLY for external inspection.
+one cloud for visual RViz comparison.  Here the comparison is quantified
+three ways on the same organized scan:
+
+* device op vs loop-exact featsense host twin (same spec — regression);
+* device op vs the INDEPENDENT original-F-LOAM selection
+  (frontends/featsense/floam_original.py, reproducing
+  /root/reference/test/floam.h:150-245) — a different algorithm by
+  design, so the report shows counts + overlap, catching any shared
+  misreading of the featsense spec.
 
     python -m warpsense_tpu.eval.feature_compare [--pcd cloud.pcd]
         [--channels 128 --columns 1024] [--out-dir DIR]
@@ -48,17 +53,35 @@ def run(cloud: "np.ndarray", *, edge_capacity: int = 2048,
     s_dev = set(np.asarray(s_idx)[np.asarray(s_mask)].tolist())
     e_set, s_set = set(map(int, e_ref)), set(map(int, s_ref))
 
+    # independent twin: the ORIGINAL F-LOAM rules (test/floam.h)
+    from ..frontends.featsense.floam_original import floam_original_features
+    t0 = time.perf_counter()
+    e_fl, s_fl = floam_original_features(cloud.reshape(-1, 3))
+    floam_s = time.perf_counter() - t0
+    e_flo, s_flo = set(map(int, e_fl)), set(map(int, s_fl))
+
     def jaccard(a, b):
         return len(a & b) / max(len(a | b), 1)
+
+    def recall(dev, other):
+        """Fraction of the other algorithm's picks the device also found."""
+        return len(dev & other) / max(len(other), 1)
 
     result = {
         "metric": "feature_compare",
         "edges": {"host": len(e_set), "device": len(e_dev),
-                  "jaccard": round(jaccard(e_set, e_dev), 4)},
+                  "floam": len(e_flo),
+                  "jaccard": round(jaccard(e_set, e_dev), 4),
+                  "floam_recall": round(recall(e_dev, e_flo), 4),
+                  "floam_precision": round(recall(e_flo, e_dev), 4)},
         "surfs": {"host": len(s_set), "device": len(s_dev),
-                  "jaccard": round(jaccard(s_set, s_dev), 4)},
+                  "floam": len(s_flo),
+                  "jaccard": round(jaccard(s_set, s_dev), 4),
+                  "floam_recall": round(recall(s_dev, s_flo), 4),
+                  "floam_precision": round(recall(s_flo, s_dev), 4)},
         "host_ms": round(host_s * 1e3, 1),
         "device_ms": round(dev_s * 1e3, 1),
+        "floam_ms": round(floam_s * 1e3, 1),
     }
     if out_dir is not None:
         from pathlib import Path

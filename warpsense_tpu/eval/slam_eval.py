@@ -54,7 +54,7 @@ def run_warpsense(dataset, params: Params, map_path: Path, *,
         est.append(pose_m)
         truth.append(frame.ground_truth)
     app.terminate()
-    return _report(np.stack(est), np.stack(truth), times)
+    return _report(np.stack(est), truth, times)
 
 
 def run_featsense(dataset, params: Params, map_path: Path, *,
@@ -74,18 +74,21 @@ def run_featsense(dataset, params: Params, map_path: Path, *,
         est.append(pose)
         truth.append(frame.ground_truth)
     app.terminate()
-    return _report(np.stack(est), np.stack(truth), times)
+    return _report(np.stack(est), truth, times)
 
 
-def _report(est: np.ndarray, truth: np.ndarray, times: list[float]) -> dict:
+def _report(est: np.ndarray, truth, times: list[float]) -> dict:
     steady = times[2:] if len(times) > 4 else times  # skip compile frames
-    return {
+    out = {
         "frames": len(times),
-        "ate_rmse_m": round(ate_rmse(est, truth, align=True), 4),
-        "ate_rmse_raw_m": round(ate_rmse(est, truth, align=False), 4),
         "scan_ms_avg": round(float(np.mean(steady)) * 1000, 2),
         "scans_per_s": round(1.0 / float(np.mean(steady)), 2),
     }
+    if truth is not None and not any(t is None for t in truth):
+        truth = np.stack(list(truth))
+        out["ate_rmse_m"] = round(ate_rmse(est, truth, align=True), 4)
+        out["ate_rmse_raw_m"] = round(ate_rmse(est, truth, align=False), 4)
+    return out
 
 
 def main(argv=None) -> None:
@@ -98,10 +101,29 @@ def main(argv=None) -> None:
     ap.add_argument("--radius", type=float, default=2.0)
     ap.add_argument("--map-out", default=None)
     ap.add_argument("--tum-out", default=None)
+    ap.add_argument("--bag", default=None,
+                    help="drive from a rosbag1 file instead of synthetic")
+    ap.add_argument("--cloud-topic", default="/os_cloud_node/points")
+    ap.add_argument("--imu-topic", default=None)
+    ap.add_argument("--tum-gt", default=None,
+                    help="TUM ground-truth file for ATE against the bag")
     args = ap.parse_args(argv)
 
-    dataset = SyntheticDataset(args.frames, channels=args.channels,
-                               columns=args.columns)
+    if args.bag:
+        from ..io.rosbag import RosbagDataset
+        from ..io.trajectory import read_tum
+        ds = RosbagDataset(args.bag, args.cloud_topic, args.imu_topic,
+                           channels=args.channels, columns=args.columns)
+        frames = list(ds)
+        if args.tum_gt:
+            _, gt = read_tum(args.tum_gt)
+            for i, fr in enumerate(frames):
+                if i < len(gt):
+                    fr.ground_truth = gt[i]
+        dataset = frames
+    else:
+        dataset = SyntheticDataset(args.frames, channels=args.channels,
+                                   columns=args.columns)
     params = default_params(args.channels, args.columns)
     map_path = Path(args.map_out) if args.map_out else (
         Path(tempfile.mkdtemp()) / "slam_eval.h5")

@@ -93,6 +93,10 @@ class FastsenseApp:
 
         self.imu_buffer = ConcurrentRingBuffer(1000)
         self.imu_diff = ImuOrientationDiff(self.imu_buffer)
+        # raw gyro+accel samples are filtered in-process — the role of the
+        # reference's external imu_filter_madgwick node (imu_filter.launch)
+        from ..utils.imu import MadgwickFilter
+        self.madgwick = MadgwickFilter()
 
         self._jobs = ConcurrentRingBuffer(1)
         self._jobs_submitted = 0
@@ -104,10 +108,18 @@ class FastsenseApp:
         self.eval = RuntimeEvaluator.get_instance()
 
     # ------------------------------------------------------------- callbacks
-    def imu_callback(self, sample: ImuSample) -> None:
+    def imu_callback(self, sample: ImuSample,
+                     linear_acceleration=None) -> None:
         """Buffer an orientation-carrying IMU sample (fastsense.cpp:120-125:
         the node subscribes the madgwick-filtered topic and uses
-        msg.orientation directly)."""
+        msg.orientation directly).  A RAW sample (``orientation is None``)
+        is run through the in-process Madgwick filter first —
+        ``linear_acceleration`` then provides the gravity observation
+        (parity with launch/imu_filter.launch wiring)."""
+        if sample.orientation is None:
+            accel = (np.zeros(3) if linear_acceleration is None
+                     else linear_acceleration)
+            sample = self.madgwick.filter_sample(sample, accel)
         self.imu_buffer.push_nb(sample, force=True)
 
     def cloud_callback(self, cloud_m: np.ndarray, stamp: float) -> np.ndarray:

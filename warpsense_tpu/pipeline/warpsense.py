@@ -57,7 +57,8 @@ class WarpsenseApp:
     def __init__(self, params: Params, map_path: str | Path | None = None,
                  capacity: int = 32768, max_range_mm: int = 50000,
                  profile: bool = False, fusion: str = "auto",
-                 resume: bool = False, exact_fields: bool = False):
+                 resume: bool = False, exact_fields: bool = False,
+                 monitor=None):
         """``fusion``: "auto" (Pallas fusion kernel on TPU, XLA projective
         sweep elsewhere), "pallas" (kernels/tsdf_pallas.py — the TPU
         speed-of-light single-pass kernel), "projective" (dense gather
@@ -66,7 +67,11 @@ class WarpsenseApp:
 
         ``resume=True`` reopens an existing map file, reloads the window
         around the last persisted pose and continues from it — the
-        checkpoint/resume capability the reference lacks (SURVEY §5.4)."""
+        checkpoint/resume capability the reference lacks (SURVEY §5.4).
+
+        ``monitor``: optional ``obs.live.LiveMonitor`` receiving per-scan
+        poses, map-window snapshots, and shift events while the run is in
+        flight (the reference's RViz streaming role, publish.h:11-93)."""
         self.params = params
         self.capacity = int(capacity)
         self.profile = profile
@@ -118,6 +123,7 @@ class WarpsenseApp:
             m.tau, m.resolution, max_range_mm, params.lidar.channels,
             params.lidar.vfov)
         self.eval = RuntimeEvaluator.get_instance()
+        self.monitor = monitor
 
     # ------------------------------------------------------------- callbacks
     def imu_callback(self, sample: ImuSample) -> None:
@@ -269,6 +275,12 @@ class WarpsenseApp:
         self._maybe_shift()
         if prof:
             prof.stop("total")
+        if self.monitor is not None:
+            # live streaming (the reference's per-scan TF/path publish +
+            # marker-cloud topics, app.cpp:150-170 / publish.h:11-93)
+            self.monitor.publish_pose(stamp, self.pose)
+            self.monitor.publish_map(self.state, resolution=m.resolution,
+                                     tau=m.tau)
         return self.pose.copy()
 
     # -------------------------------------------------------------- internals
@@ -368,6 +380,8 @@ class WarpsenseApp:
         self._pre_shift_pose = self.last_shift_pose
         self.last_shift_pose = self.pose.copy()
         new_pos = np.floor(self.pose[:3, 3] / m.resolution).astype(np.int64)
+        if self.monitor is not None:
+            self.monitor.publish_shift(new_pos)   # skeleton publish role
         if self.params.registration.mode == "fast":
             import threading
             self.local_map.attach_device(self.state)

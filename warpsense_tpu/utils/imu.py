@@ -68,6 +68,89 @@ def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
     ])
 
 
+class MadgwickFilter:
+    """Madgwick AHRS orientation filter (gyro + accelerometer, IMU variant).
+
+    The reference wires ROS's ``imu_filter_madgwick`` node in front of the
+    fastsense pipeline (/root/reference/launch/imu_filter.launch) so raw
+    gyro+accel streams arrive as absolute orientations; this is that
+    node's role, so ``FastsenseApp`` (which consumes orientation
+    quaternions via ``ImuOrientationDiff``) can ingest raw IMU data.
+
+    Standard gradient-descent formulation: q_dot = 0.5 q (x) [0, w]
+    - beta * grad(f)/|grad(f)|, with f the accelerometer-gravity
+    alignment objective.  ``beta`` defaults to the ROS node's 0.1.
+    Quaternions are (x, y, z, w) like the rest of this repo.
+    """
+
+    def __init__(self, beta: float = 0.1):
+        self.beta = float(beta)
+        self.q = np.array([0.0, 0.0, 0.0, 1.0])    # xyzw
+        self.last_stamp: float | None = None
+
+    def update(self, stamp: float, gyro, accel) -> np.ndarray:
+        """Advance to ``stamp`` with one (gyro rad/s, accel m/s^2) sample;
+        returns the current orientation quaternion (x, y, z, w)."""
+        gyro = np.asarray(gyro, np.float64)
+        accel = np.asarray(accel, np.float64)
+        if self.last_stamp is None:
+            self.last_stamp = float(stamp)
+            # seed roll/pitch from gravity when the accel is sane
+            n = np.linalg.norm(accel)
+            if 0.5 * 9.81 < n < 1.5 * 9.81:
+                ax, ay, az = accel / n
+                roll = np.arctan2(ay, az)
+                pitch = np.arctan2(-ax, np.hypot(ay, az))
+                cr, sr = np.cos(roll / 2), np.sin(roll / 2)
+                cp, sp = np.cos(pitch / 2), np.sin(pitch / 2)
+                self.q = np.array([sr * cp, cr * sp, -sr * sp, cr * cp])
+                self.q /= np.linalg.norm(self.q)
+            return self.q.copy()
+        dt = float(stamp) - self.last_stamp
+        self.last_stamp = float(stamp)
+        if dt <= 0.0:
+            return self.q.copy()
+
+        x, y, z, w = self.q
+        gx, gy, gz = gyro
+        # rate of change from gyro: 0.5 * q (x) (0, w_gyro)
+        qdot = 0.5 * np.array([
+            w * gx + y * gz - z * gy,
+            w * gy - x * gz + z * gx,
+            w * gz + x * gy - y * gx,
+            -x * gx - y * gy - z * gz,
+        ])
+
+        n = np.linalg.norm(accel)
+        if n > 1e-9:
+            ax, ay, az = accel / n
+            # objective f = R(q)^T g_world - a  (g_world = +z), Jacobian^T f
+            f1 = 2.0 * (x * z - w * y) - ax
+            f2 = 2.0 * (w * x + y * z) - ay
+            f3 = 2.0 * (0.5 - x * x - y * y) - az
+            gx_ = 2.0 * z * f1 + 2.0 * w * f2 - 4.0 * x * f3
+            gy_ = -2.0 * w * f1 + 2.0 * z * f2 - 4.0 * y * f3
+            gz_ = 2.0 * x * f1 + 2.0 * y * f2
+            gw_ = -2.0 * y * f1 + 2.0 * x * f2
+            grad = np.array([gx_, gy_, gz_, gw_])
+            gn = np.linalg.norm(grad)
+            if gn > 1e-12:
+                qdot -= self.beta * grad / gn
+
+        self.q = self.q + qdot * dt
+        self.q /= np.linalg.norm(self.q)
+        return self.q.copy()
+
+    def filter_sample(self, sample: "ImuSample",
+                      linear_acceleration) -> "ImuSample":
+        """Raw sample -> sample carrying the filtered orientation (the
+        shape ``FastsenseApp.imu_callback`` expects)."""
+        q = self.update(sample.stamp, sample.angular_velocity,
+                        linear_acceleration)
+        return ImuSample(sample.stamp, np.asarray(sample.angular_velocity),
+                         orientation=q)
+
+
 class ImuOrientationDiff:
     """Absolute-orientation-difference pretransform (the fastsense variant).
 
