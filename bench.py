@@ -135,7 +135,8 @@ def build_slam_loops(cfg, *, fusion="auto"):
                    columns=cfg["columns"], vfov_deg=cfg["vfov_deg"], **extra)
     reg_kw = dict(size=SIZE, resolution=RES, tau=TAU,
                   max_iterations=cfg["max_iterations"],
-                  it_weight_gradient=0.1, epsilon=0.03)
+                  it_weight_gradient=0.1, epsilon=0.03,
+                  coarse_iterations=5)
     pert = np.eye(4, dtype=np.float32)
     pert[:3, 3] = np.asarray([80, -60, 40]) * RES // 64
     pert = jnp.asarray(pert)

@@ -66,7 +66,7 @@ def beam_loop(pts):
         m = mask & in_bounds(cell, state.pos, jnp.asarray(SIZE),
                              -(TAU // RES // 2))
         rng_tab, endpoint = build_beam_table(
-            p, m, scanner_mm, jnp.eye(3, jnp.float32), channels=CH,
+            p, m, scanner_mm, jnp.eye(3, dtype=jnp.float32), channels=CH,
             columns=COLS, vfov_deg=45.0)
         acc = acc + jnp.sum(jnp.where(jnp.isfinite(rng_tab), rng_tab, 0.0))
         return p + (acc.astype(jnp.int32) & 1), acc
@@ -78,7 +78,7 @@ print(f"beam table: {timed(beam_loop, pts)*1e3:.2f} ms", flush=True)
 
 # ---- stage 2: mini build (XLA prep: col_c + row gather)
 rng_tab, endpoint = build_beam_table(
-    pts, mask, scanner_mm, jnp.eye(3, jnp.float32), channels=CH,
+    pts, mask, scanner_mm, jnp.eye(3, dtype=jnp.float32), channels=CH,
     columns=COLS, vfov_deg=45.0)
 rel = endpoint - scanner_mm.astype(jnp.float32)
 rel = jnp.where(jnp.isfinite(rng_tab)[:, None], rel, jnp.inf)
@@ -92,7 +92,7 @@ gx, gy, gz = _global_coords(state.pos, state.offset, SIZE)
 cx = (gx * RES + RES // 2 - scanner_mm[0]).astype(jnp.float32)
 cy = (gy * RES + RES // 2 - scanner_mm[1]).astype(jnp.float32)
 cz = (gz * RES + RES // 2 - scanner_mm[2]).astype(jnp.float32)
-R = jnp.eye(3, jnp.float32)
+R = jnp.eye(3, dtype=jnp.float32)
 cxs = jnp.stack([cx, cx * R[0, 0], cx * R[0, 1], cx * R[0, 2]], axis=-1)
 cys = jnp.stack([cy, cy * R[1, 0], cy * R[1, 1], cy * R[1, 2]], axis=-1)
 czs = jnp.stack([cz, cz * R[2, 0], cz * R[2, 1], cz * R[2, 2]], axis=0)

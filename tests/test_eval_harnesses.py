@@ -52,3 +52,46 @@ def test_slam_eval_cli_smoke(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["frames"] == 4
     assert np.isfinite(out["ate_rmse_m"])
+
+
+def test_feature_compare_includes_floam_twin():
+    """feature_compare reports the independent original-F-LOAM selection
+    (frontends/featsense/floam_original.py, reproducing test/floam.h) —
+    a second, non-self-referential implementation next to the host twin."""
+    from warpsense_tpu.eval.feature_compare import run
+    from warpsense_tpu.io.synthetic import BoxWorld, render_scan
+
+    cloud = render_scan(BoxWorld.default(), np.eye(4), channels=32,
+                        columns=256, max_range=22.0, noise_std=0.005,
+                        rng=np.random.default_rng(0))
+    out = run(cloud)
+    assert out["edges"]["jaccard"] == 1.0       # device == host twin
+    assert out["surfs"]["jaccard"] == 1.0
+    assert out["edges"]["floam"] > 0 and out["surfs"]["floam"] > 0
+    assert 0.0 <= out["edges"]["floam_precision"] <= 1.0
+
+
+def test_floam_original_rules():
+    """Edges exceed the 0.1 curvature gate; <=20 edges per sector; every
+    unpicked sector point lands in surf (floam.h:30-148 semantics)."""
+    from warpsense_tpu.frontends.featsense.floam_original import \
+        floam_original_features
+
+    rng = np.random.default_rng(5)
+    # one synthetic "scan line": points on a smooth arc with sharp spikes
+    n = 400
+    az = np.linspace(-1.0, 1.0, n)
+    pts = np.stack([10 * np.cos(az), 10 * np.sin(az),
+                    np.zeros(n)], axis=1)
+    pts[::37] *= 1.4                     # corner-like spikes
+    pts += rng.normal(0, 0.002, pts.shape)
+    e, s = floam_original_features(pts, n_scans=128, min_distance=2.0,
+                                   max_distance=60.0)
+    assert len(e) > 0 and len(s) > 0
+    assert set(e).isdisjoint(set(s))
+    assert max(list(e) + list(s)) < n
+    # determinism
+    e2, s2 = floam_original_features(pts, n_scans=128, min_distance=2.0,
+                                     max_distance=60.0)
+    np.testing.assert_array_equal(e, e2)
+    np.testing.assert_array_equal(s, s2)

@@ -252,3 +252,26 @@ def test_registration_packed_interp_beats_nearest(corner_scene):
     _, trans_n = pose_errors(np.asarray(out_n))
     assert trans_i < RESOLUTION / 2
     assert trans_i <= trans_n + 1.0, (trans_i, trans_n)
+
+
+def test_registration_packed_coarse_to_fine(corner_scene):
+    """coarse_iterations (early LM rounds on a 1-in-4 subsample) recovers
+    the same pose as the full-resolution loop."""
+    from warpsense_tpu.ops.registration import (precompute_fields_packed,
+                                                register_cloud_packed)
+    corner_map, scan = corner_scene
+    rng = np.random.default_rng(29)
+    pts = reg_cloud(scan, rng, 3000)
+    perturbed = pose_from([0.1, 0.5, 1.0], np.deg2rad(1.0), [60, -50, 40])
+
+    state = corner_map.device_state()
+    fields = precompute_fields_packed(state, tau=TAU)
+    mask = jnp.ones((len(pts),), bool)
+    kw = dict(size=corner_map.size, resolution=RESOLUTION, tau=TAU,
+              max_iterations=200, it_weight_gradient=0.1, epsilon=0.0)
+    out_c, iters_c, _ = register_cloud_packed(
+        fields, state.pos, state.offset, jnp.asarray(pts, jnp.int32), mask,
+        jnp.asarray(perturbed), coarse_iterations=5, **kw)
+    rot_err, trans_err = pose_errors(np.asarray(out_c))
+    assert trans_err < RESOLUTION / 2, f"translation {trans_err:.1f} mm"
+    assert int(iters_c) < 40

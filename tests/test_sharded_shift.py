@@ -1,0 +1,102 @@
+"""Window shift with a SHARDED device state attached: per-shard slab
+eviction into the host HDF5 path must round-trip exactly like the
+single-device shift (reference semantics: hdf5_local_map.cpp:53-118 +
+tsdf_mapping.cpp:97-136, scaled to a mesh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from warpsense_tpu.core.consts import WEIGHT_RESOLUTION
+from warpsense_tpu.map.global_map import GlobalMap
+from warpsense_tpu.map.local_map import LocalMap
+from warpsense_tpu.ops.tsdf_projective import tsdf_update_projective
+from warpsense_tpu.parallel.sharded import (make_mesh, shard_state,
+                                            tsdf_update_projective_sharded)
+
+TAU, RES = 600, 64
+SIZE = (80, 41, 41)
+
+
+def _fused(tmp_path, name, sharded_mesh=None):
+    gm = GlobalMap(tmp_path / f"{name}.h5", TAU, 0)
+    # force_odd=False: the mesh needs X divisible by 8 — even extents are
+    # the supported multi-chip window shape (floor-span convention)
+    lm = LocalMap(SIZE, gm, force_odd=False)
+    rng = np.random.default_rng(11)
+    pts = []
+    for ax in range(3):
+        for s in (-1, 1):
+            p = np.stack([rng.uniform(-1100, 1100, 500),
+                          rng.uniform(-1100, 1100, 500),
+                          rng.uniform(-350, 350, 500)], axis=1)
+            p[:, ax] = s * (350 if ax == 2 else 1100)
+            pts.append(p)
+    pts = jnp.asarray(np.round(np.concatenate(pts)).astype(np.int32))
+    mask = jnp.ones((pts.shape[0],), bool)
+    kw = dict(size=lm.size, tau=TAU, max_weight=32 * WEIGHT_RESOLUTION,
+              resolution=RES, channels=32, columns=128, vfov_deg=45.0)
+    state = lm.device_state()
+    if sharded_mesh is not None:
+        state = shard_state(state, sharded_mesh)
+        state = tsdf_update_projective_sharded(
+            state, pts, mask, jnp.zeros(3, jnp.int32),
+            jnp.eye(3, dtype=jnp.float32), mesh=sharded_mesh, **kw)
+    else:
+        state = tsdf_update_projective(
+            state, pts, mask, jnp.zeros(3, jnp.int32),
+            jnp.eye(3, dtype=jnp.float32), **kw)
+    return lm, gm, state
+
+
+def test_sharded_shift_matches_single(tmp_path):
+    mesh = make_mesh(8)
+
+    lm1, gm1, st1 = _fused(tmp_path, "single")
+    lm1.attach_device(st1)
+    lm1.shift([12, -5, 3])
+    out1 = lm1.detach_device()
+
+    lmN, gmN, stN = _fused(tmp_path, "sharded", sharded_mesh=mesh)
+    lmN.attach_device(stN)
+    lmN.shift([12, -5, 3])
+    outN = lmN.detach_device()
+
+    np.testing.assert_array_equal(np.asarray(out1.value),
+                                  np.asarray(outN.value))
+    np.testing.assert_array_equal(np.asarray(out1.weight),
+                                  np.asarray(outN.weight))
+    np.testing.assert_array_equal(np.asarray(out1.pos), np.asarray(outN.pos))
+    np.testing.assert_array_equal(np.asarray(out1.offset),
+                                  np.asarray(outN.offset))
+
+    # both persisted identical evicted slabs
+    lm1.absorb(out1)
+    lmN.absorb(outN)
+    lm1.write_back()
+    lmN.write_back()
+    a1 = gm1.read_area(np.asarray([-45, -25, -25]), np.asarray([45, 25, 25]))
+    aN = gmN.read_area(np.asarray([-45, -25, -25]), np.asarray([45, 25, 25]))
+    np.testing.assert_array_equal(a1, aN)
+    gm1.close()
+    gmN.close()
+
+
+def test_sharded_shift_then_fuse_again(tmp_path):
+    """After a sharded shift the state can be re-placed on the mesh and
+    fused again (the pipeline's steady-state loop)."""
+    mesh = make_mesh(8)
+    lm, gm, st = _fused(tmp_path, "loop", sharded_mesh=mesh)
+    lm.attach_device(st)
+    lm.shift([8, 0, 0])
+    st = lm.detach_device()
+    st = shard_state(st, mesh)
+    pts = jnp.asarray(np.full((60, 3), 500, np.int32))
+    mask = jnp.ones((60,), bool)
+    st = tsdf_update_projective_sharded(
+        st, pts, mask, jnp.asarray([8, 0, 0], jnp.int32),
+        jnp.eye(3, dtype=jnp.float32), mesh=mesh, size=lm.size, tau=TAU,
+        max_weight=32 * WEIGHT_RESOLUTION, resolution=RES, channels=32,
+        columns=128, vfov_deg=45.0)
+    assert int(np.asarray(st.pos)[0]) == 8
+    assert np.isfinite(np.asarray(st.value, np.float32)).all()
+    gm.close()

@@ -60,6 +60,10 @@ class RegistrationParams:
     # GN stepping: "parity" = the reference's un-normalized creep steps;
     # "fast" = true Gauss-Newton (see ops/registration.register_cloud)
     mode: str = "parity"
+    # fast mode only: LM iterations run on a 1-in-4 point subsample
+    # before switching to full resolution (coarse-to-fine; the
+    # per-iteration cost is the latency-bound fields gather)
+    coarse_iterations: int = 0
 
 
 @dataclass

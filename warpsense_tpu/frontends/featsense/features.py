@@ -126,40 +126,64 @@ def extract_features(cloud: jax.Array, *, params: FeatureParams = FeatureParams(
     loc_cols = sps[:, None] - 5 + jnp.arange(LOC)[None, :]         # (nb, LOC)
     blocked0 = picked[:, jnp.clip(loc_cols, 0, W - 1)]             # (H, nb, LOC)
 
-    hh = jnp.arange(H)[:, None, None]
-    nn = jnp.arange(nb)[None, :, None]
+    loc_iota = jnp.arange(LOC)[None, None, :]                      # (1,1,LOC)
 
     def make_pass(order, accept_fn, mark_lo, mark_hi, budget):
-        """One greedy selection pass; returns (blocked, counts, sel)."""
+        """One greedy selection pass; returns (blocked, counts, sel).
+
+        Hot-loop discipline (the two passes are the front end's dominant
+        cost): candidate curvature/validity are pre-gathered in rank
+        order OUTSIDE the loop (per-iteration work is then one dynamic
+        slice + ONE data-dependent gather into `blocked`); acceptance is
+        recorded BY RANK — a cheap (H, nb, 1) dynamic-slice write — and
+        mapped back to block positions once after the loop; suppression
+        is a broadcast range compare (an XLA scatter here serializes per
+        element on TPU: measured ~45 ms/scan before this shape).
+        """
+        c_sorted = jnp.take_along_axis(bcurv, order, axis=-1)      # (H,nb,BLK)
+        v_sorted = jnp.take_along_axis(bvalid, order, axis=-1)
+        cand = v_sorted & accept_fn(c_sorted)                      # static gate
+
         def body(r, carry):
-            blocked, count, sel = carry
+            blocked, count, sel_rank = carry
             pos = jax.lax.dynamic_index_in_dim(order, r, axis=-1,
                                                keepdims=False)     # (H, nb)
-            c = jnp.take_along_axis(bcurv, pos[..., None], axis=-1)[..., 0]
-            v = jnp.take_along_axis(bvalid, pos[..., None], axis=-1)[..., 0]
-            hit = jnp.take_along_axis(blocked, pos[..., None] + 5,
-                                      axis=-1)[..., 0]
-            accept = v & accept_fn(c) & ~hit & (count < budget)
-            sel = sel | (accept[..., None]
-                         & (pos_in_block[None, None] == pos[..., None]))
-            offs = jnp.arange(mark_lo, mark_hi)
-            tgt = pos[..., None] + 5 + offs[None, None, :]         # (H, nb, |offs|)
-            blocked = blocked.at[hh, nn, tgt].max(accept[..., None])
-            return blocked, count + accept, sel
+            ok0 = jax.lax.dynamic_index_in_dim(cand, r, axis=-1,
+                                               keepdims=False)
+            # hit = blocked[pos + 5], via compare + reduce: a row gather
+            # here serializes per element (~20 us/iteration measured)
+            at_pos = loc_iota == pos[..., None] + 5                # (H,nb,LOC)
+            hit = jnp.any(blocked & at_pos, axis=-1)
+            accept = ok0 & ~hit & (count < budget)
+            sel_rank = jax.lax.dynamic_update_index_in_dim(
+                sel_rank, accept, r, axis=-1)
+            lo = pos[..., None] + (5 + mark_lo)                    # (H,nb,1)
+            mark = (loc_iota >= lo) & (loc_iota < lo + (mark_hi - mark_lo))
+            blocked = blocked | (accept[..., None] & mark)
+            return blocked, count + accept, sel_rank
 
-        return body
+        def rank_to_pos(sel_rank):
+            # invert the rank permutation: position p was rank inv[p]
+            inv = jnp.argsort(order, axis=-1)
+            return jnp.take_along_axis(sel_rank, inv, axis=-1)
+
+        return body, rank_to_pos
 
     count0 = jnp.zeros((H, nb), jnp.int32)
     sel0 = jnp.zeros((H, nb, BLK), bool)
 
-    edge_body = make_pass(order_desc, lambda c: c >= params.edge_threshold,
-                          -5, 5, params.max_edge_per_block)
-    blocked, _, edge_sel = jax.lax.fori_loop(
+    edge_body, edge_map = make_pass(
+        order_desc, lambda c: c >= params.edge_threshold,
+        -5, 5, params.max_edge_per_block)
+    blocked, _, edge_sel_rank = jax.lax.fori_loop(
         0, BLK, edge_body, (blocked0, count0, sel0))
-    surf_body = make_pass(order_asc, lambda c: c <= params.surf_threshold,
-                          -5, 6, params.max_surf_per_block)
-    _, _, surf_sel = jax.lax.fori_loop(
+    edge_sel = edge_map(edge_sel_rank)
+    surf_body, surf_map = make_pass(
+        order_asc, lambda c: c <= params.surf_threshold,
+        -5, 6, params.max_surf_per_block)
+    _, _, surf_sel_rank = jax.lax.fori_loop(
         0, BLK, surf_body, (blocked, count0, sel0))
+    surf_sel = surf_map(surf_sel_rank)
 
     flat_idx = (jnp.arange(H)[:, None, None] * W + cols_c[None]).reshape(-1)
     pts = cloud.reshape(-1, 3)[flat_idx]

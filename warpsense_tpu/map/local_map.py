@@ -45,8 +45,14 @@ def make_odd(n: int) -> int:
 
 
 def create_state(size: tuple[int, int, int], default_value: int,
-                 default_weight: int = 0, xp=np) -> LocalMapState:
-    size = tuple(make_odd(int(s)) for s in size)
+                 default_weight: int = 0, xp=np,
+                 force_odd: bool = True) -> LocalMapState:
+    """``force_odd=False`` permits even extents (multi-chip deployments
+    shard the x-axis over the mesh, which needs divisibility, not parity);
+    an even axis spans the asymmetric [pos - s/2, pos + (s-1)/2] box —
+    every bounds/coords helper here uses that floor convention, which
+    collapses to the reference's symmetric odd window when s is odd."""
+    size = tuple((make_odd(int(s)) if force_odd else int(s)) for s in size)
     return LocalMapState(
         value=xp.full(size, default_value, dtype=xp.int16),
         weight=xp.full(size, default_weight, dtype=xp.int16),
@@ -72,10 +78,14 @@ def ring_index(points, pos, offset, size: tuple[int, int, int]):
 def in_bounds(points, pos, size, buffer=0):
     """Per-point bool: inside the window, shrunk (buffer>0) or grown
     (buffer<0) — covers the reference's in_bounds / _with_buffer_neg /
-    _with_buffer_pos trio (device_map.h:109-128)."""
-    d = jnp.abs(points - pos)
-    lim = jnp.asarray(size) // 2 - buffer
-    return jnp.all(d <= lim, axis=-1)
+    _with_buffer_pos trio (device_map.h:109-128).  Floor convention: an
+    even axis spans [pos - s/2, pos + (s-1)/2] (identical to the odd
+    symmetric window when s is odd)."""
+    d = points - pos
+    sz = jnp.asarray(size)
+    lo = -(sz // 2) + buffer
+    hi = (sz - 1) // 2 - buffer
+    return jnp.all((d >= lo) & (d <= hi), axis=-1)
 
 
 # ------------------------------------------------------------- host-side shell
@@ -87,11 +97,14 @@ class LocalMap:
     jnp copy of the state (see warpsense_tpu/pipeline).
     """
 
-    def __init__(self, size: tuple[int, int, int], global_map: GlobalMap):
-        self.size = tuple(make_odd(int(s)) for s in size)
+    def __init__(self, size: tuple[int, int, int], global_map: GlobalMap,
+                 force_odd: bool = True):
+        self.size = tuple((make_odd(int(s)) if force_odd else int(s))
+                          for s in size)
         self.global_map = global_map
         self.state = create_state(self.size, global_map.default_value,
-                                  global_map.default_weight, xp=np)
+                                  global_map.default_weight, xp=np,
+                                  force_odd=force_odd)
         from ..native import load as _load_native
         self._native = _load_native()
         self._dev: LocalMapState | None = None
@@ -251,7 +264,7 @@ class LocalMap:
                     f"shift of {diff} voxels on axis {axis} exceeds window size "
                     f"{self.size[axis]}; shift more often")
             start = pos - size // 2
-            end = pos + size // 2
+            end = pos + (size - 1) // 2
             if diff > 0:
                 end[axis] = start[axis] + diff - 1
             else:
@@ -263,7 +276,7 @@ class LocalMap:
 
             pos = np.asarray(self.state.pos, dtype=np.int64)
             start = pos - size // 2
-            end = pos + size // 2
+            end = pos + (size - 1) // 2
             if diff > 0:
                 start[axis] = end[axis] - (diff - 1)
             else:
@@ -273,7 +286,7 @@ class LocalMap:
     def write_back(self) -> None:
         pos = np.asarray(self.state.pos, dtype=np.int64)
         size = np.asarray(self.size, dtype=np.int64)
-        self._save_area(pos - size // 2, pos + size // 2)
+        self._save_area(pos - size // 2, pos + (size - 1) // 2)
         self.global_map.write_back()
 
     def load_window(self, pos) -> None:
@@ -284,7 +297,7 @@ class LocalMap:
         size = np.asarray(self.size, dtype=np.int64)
         self.state.pos[:] = pos.astype(np.int32)
         self.state.offset[:] = (size // 2).astype(np.int32)
-        self._load_area(pos - size // 2, pos + size // 2)
+        self._load_area(pos - size // 2, pos + (size - 1) // 2)
 
     # ----------------------------------------------------------- device bridge
     def device_state(self) -> LocalMapState:

@@ -384,7 +384,8 @@ _SCP = 1.0 / (1 << 15)   # cross columns ~ p[mm] * unit-grad
 
 @functools.partial(
     jax.jit,
-    static_argnames=("size", "resolution", "tau", "max_iterations", "interp"),
+    static_argnames=("size", "resolution", "tau", "max_iterations", "interp",
+                     "coarse_iterations"),
 )
 def register_cloud_packed(fields: PackedFields, pos: jax.Array,
                           offset: jax.Array, points: jax.Array,
@@ -392,7 +393,7 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
                           size: tuple[int, int, int], resolution: int,
                           tau: int, max_iterations: int,
                           it_weight_gradient: float, epsilon: float,
-                          interp: bool = True):
+                          interp: bool = True, coarse_iterations: int = 0):
     """Fast-mode GN registration against packed fields — the pipeline hot
     path.  One gather per iteration; resolution-normalized gradients (true
     GN steps); per-iteration recentering; optional gradient-interpolated
@@ -416,9 +417,17 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
     """
     stats = make_packed_stats(fields, pos, offset, points, mask, size=size,
                               resolution=resolution, tau=tau, interp=interp)
+    stats_coarse = None
+    if coarse_iterations > 0:
+        # 1-in-4 deterministic subsample for the early iterations (the
+        # dedup'd cloud has no organized structure for a stride to alias)
+        stats_coarse = make_packed_stats(
+            fields, pos, offset, points[::4], mask[::4], size=size,
+            resolution=resolution, tau=tau, interp=interp)
     del it_weight_gradient   # parity-mode ramp; LM adapts alpha itself
     return _lm_loop(stats, pretransform, max_iterations=max_iterations,
-                    epsilon=epsilon)
+                    epsilon=epsilon, stats_coarse=stats_coarse,
+                    coarse_iterations=coarse_iterations)
 
 
 def make_packed_stats(fields, pos, offset, points, mask, *, size, resolution,
@@ -480,11 +489,17 @@ def make_packed_stats(fields, pos, offset, points, mask, *, size, resolution,
     return stats
 
 
-def _lm_loop(stats, pretransform, *, max_iterations, epsilon):
+def _lm_loop(stats, pretransform, *, max_iterations, epsilon,
+             stats_coarse=None, coarse_iterations: int = 0):
     """Adaptive-LM driver over a ``stats(total)`` closure (see
     ``register_cloud_packed``); shared by the single-chip and sharded fast
     paths (the sharded stats closure psums its outputs — the loop itself is
-    replicated and stays bit-identical across devices)."""
+    replicated and stays bit-identical across devices).
+
+    ``stats_coarse``: optional cheaper closure (subsampled points) used
+    for the first ``coarse_iterations`` — the per-iteration cost is one
+    latency-bound gather proportional to the point count, and the early
+    LM steps don't need full resolution (coarse-to-fine)."""
     D = jnp.concatenate([jnp.full((3,), _SCP, jnp.float32),
                          jnp.full((3,), 1.0, jnp.float32)])
 
@@ -493,10 +508,20 @@ def _lm_loop(stats, pretransform, *, max_iterations, epsilon):
 
     def body(carry):
         i, acc, accH, accg, acc_err, alpha, trial, prev, _ = carry
-        H, g, e, c = stats(trial)
+        if stats_coarse is None:
+            H, g, e, c = stats(trial)
+        else:
+            H, g, e, c = jax.lax.cond(i < coarse_iterations,
+                                      stats_coarse, stats, trial)
         err = jnp.where(c > 0.0, e / jnp.maximum(c, 1.0), jnp.inf)
 
+        # the coarse->fine hand-off re-baselines: the first full-resolution
+        # evaluation becomes the accepted state (coarse and fine error
+        # populations differ slightly; comparing across them would
+        # spuriously reject one step)
         improved = err <= acc_err
+        if stats_coarse is not None:
+            improved = improved | (i == coarse_iterations)
         acc2 = jnp.where(improved, trial, acc)
         H2 = jnp.where(improved, H, accH)
         g2 = jnp.where(improved, g, accg)

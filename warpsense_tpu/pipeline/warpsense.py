@@ -219,7 +219,8 @@ class WarpsenseApp:
                 size=self.local_map.size, resolution=m.resolution, tau=m.tau,
                 max_iterations=reg.max_iterations,
                 it_weight_gradient=reg.it_weight_gradient,
-                epsilon=reg.epsilon)
+                epsilon=reg.epsilon,
+                coarse_iterations=reg.coarse_iterations)
             self.last_reg_iters = int(iters)
             self.last_reg_err = float(err)
         else:
