@@ -133,10 +133,13 @@ def build_slam_loops(cfg, *, fusion="auto"):
     tsdf_kw = dict(size=SIZE, tau=TAU, max_weight=32 * WEIGHT_RESOLUTION,
                    resolution=RES, channels=cfg["channels"],
                    columns=cfg["columns"], vfov_deg=cfg["vfov_deg"], **extra)
+    # coarse_iterations measured neutral-to-negative on-chip (the fields
+    # gather at 8K points is not 4x cheaper than at 32K — latency, not
+    # volume — and the coarse->fine re-baseline costs ~1 extra iteration),
+    # so the bench runs the plain full-resolution LM
     reg_kw = dict(size=SIZE, resolution=RES, tau=TAU,
                   max_iterations=cfg["max_iterations"],
-                  it_weight_gradient=0.1, epsilon=0.03,
-                  coarse_iterations=5)
+                  it_weight_gradient=0.1, epsilon=0.03)
     pert = np.eye(4, dtype=np.float32)
     pert[:3, 3] = np.asarray([80, -60, 40]) * RES // 64
     pert = jnp.asarray(pert)

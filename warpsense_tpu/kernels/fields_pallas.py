@@ -2,11 +2,13 @@
 
 The XLA roll-based precompute (ops/registration.py precompute_fields_packed*)
 materializes every rolled neighbor plane in HBM — measured ~26 ms at the
-91M-voxel bench window where the arithmetic is worth ~1.7 GB of traffic
-(~2 ms at v5e HBM bandwidth).  This kernel streams the window once:
-grid over x slices, the x-neighbor slices arrive via (i +- 1) mod X block
-index maps (the ring wrap the XLA twin gets from jnp.roll), and the in-slice
-y/z neighbor shifts are register rolls (pltpu.roll) — no intermediate planes
+91M-voxel bench window where the arithmetic is worth ~1.1 GB of traffic
+(~1.5 ms at v5e HBM bandwidth).  This kernel streams the window ONCE:
+a sequential grid over x slices keeps the previous two (value, weight)
+slices in VMEM scratch (each slice crosses HBM exactly once — a
+3-shifted-blockspec formulation re-reads every slice three times), the
+ring wrap arrives via the (j mod X) index maps, and the in-slice y/z
+neighbor shifts are register rolls (pltpu.roll) — no intermediate planes
 ever touch HBM.
 
 Semantics are exactly ops/registration.py's packed precompute (fast-path
@@ -62,39 +64,66 @@ def _rshift_round(x: jax.Array, s: int) -> jax.Array:
     return (x + (1 << s >> 1)) >> s if s else x
 
 
-def _kernel_packed(vm_ref, v0_ref, vp_ref, wm_ref, w0_ref, wp_ref, out_ref,
-                   *, vs: int, gs: int):
-    v0 = v0_ref[0].astype(jnp.int32)
-    w0 = w0_ref[0].astype(jnp.int32)
-    g = _grads(vm_ref[0].astype(jnp.int32), v0, vp_ref[0].astype(jnp.int32),
-               wm_ref[0].astype(jnp.int32), w0, wp_ref[0].astype(jnp.int32))
+def _pack_from_slices(vm, v0, vp, wm, w0, wp, *, exact, vs=0, gs=0):
+    g = _grads(vm, v0, vp, wm, w0, wp)
+    if exact:
+        vsent = jnp.where(w0 != 0, v0, -32768)
+        return _pack16(vsent, g[0]), _pack16(g[1], g[2])
     codes = [jnp.clip(_rshift_round(gi, gs) + 128, 1, 255) for gi in g]
     vcode = jnp.where(w0 != 0,
                       jnp.clip(_rshift_round(v0, vs) + 128, 1, 255), 0)
-    out_ref[0] = ((vcode << 24) | (codes[0] << 16) | (codes[1] << 8)
-                  | codes[2])
+    return (((vcode << 24) | (codes[0] << 16) | (codes[1] << 8)
+             | codes[2]),)
 
 
-def _kernel_packed2(vm_ref, v0_ref, vp_ref, wm_ref, w0_ref, wp_ref,
-                    a_ref, b_ref):
-    v0 = v0_ref[0].astype(jnp.int32)
-    w0 = w0_ref[0].astype(jnp.int32)
-    g = _grads(vm_ref[0].astype(jnp.int32), v0, vp_ref[0].astype(jnp.int32),
-               wm_ref[0].astype(jnp.int32), w0, wp_ref[0].astype(jnp.int32))
-    vsent = jnp.where(w0 != 0, v0, -32768)
-    a_ref[0] = _pack16(vsent, g[0])
-    b_ref[0] = _pack16(g[1], g[2])
+def _rolling_kernel(v_ref, w_ref, *out_and_scratch, exact: bool, vs: int,
+                    gs: int):
+    """Grid (X+2,), sequential: step j streams IN slice (j mod X) and
+    holds the previous two slices in VMEM scratch, so each (value,
+    weight) slice crosses HBM exactly ONCE (the naive 3-shifted-blockspec
+    form re-reads every slice three times — 6x the input traffic).
+    Output for center slice (j-1 mod X) is written from step 2 on; the
+    two garbage blocks steps 0/1 emit are re-written by steps X/X+1
+    (every center is covered exactly once with valid data, wrap
+    included)."""
+    j = pl.program_id(0)
+    nout = 2 if exact else 1
+    outs = out_and_scratch[:nout]
+    va, vb, wa, wb = out_and_scratch[nout:]
+
+    @pl.when(j >= 2)
+    def _():
+        packed = _pack_from_slices(
+            va[...].astype(jnp.int32), vb[...].astype(jnp.int32),
+            v_ref[0].astype(jnp.int32),
+            wa[...].astype(jnp.int32), wb[...].astype(jnp.int32),
+            w_ref[0].astype(jnp.int32), exact=exact, vs=vs, gs=gs)
+        for o, p in zip(outs, packed):
+            o[0] = p
+
+    # rotate the slice cache: (A, B) <- (B, loaded)
+    va[...] = vb[...]
+    wa[...] = wb[...]
+    vb[...] = v_ref[0]
+    wb[...] = w_ref[0]
 
 
-def _specs(X: int, Y: int, Z: int):
-    def shifted(d):
-        return pl.BlockSpec((1, Y, Z),
-                            lambda i, d=d: ((i + d) % X, 0, 0),
-                            memory_space=pltpu.VMEM)
-    ins = [shifted(-1), shifted(0), shifted(1)] * 2
-    out = pl.BlockSpec((1, Y, Z), lambda i: (i, 0, 0),
+def _rolling_call(value, weight, *, exact, vs=0, gs=0):
+    X, Y, Z = value.shape
+    in_spec = pl.BlockSpec((1, Y, Z), lambda j: (j % X, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, Y, Z), lambda j: ((j - 1) % X, 0, 0),
                        memory_space=pltpu.VMEM)
-    return ins, out
+    nout = 2 if exact else 1
+    return pl.pallas_call(
+        functools.partial(_rolling_kernel, exact=exact, vs=vs, gs=gs),
+        grid=(X + 2,),
+        in_specs=[in_spec, in_spec],
+        out_specs=[out] * nout,
+        out_shape=[jax.ShapeDtypeStruct((X, Y, Z), jnp.int32)] * nout,
+        scratch_shapes=[pltpu.VMEM((Y, Z), jnp.int16)] * 4,
+        interpret=_interpret(),
+    )(value, weight)
 
 
 @functools.partial(jax.jit, static_argnames=("tau",))
@@ -102,33 +131,13 @@ def precompute_fields_packed_pallas(state: LocalMapState, *,
                                     tau: int) -> PackedFields:
     """Pallas twin of ops.registration.precompute_fields_packed."""
     vs, gs = packed_shifts(tau)
-    X, Y, Z = state.value.shape
-    ins, out = _specs(X, Y, Z)
-    plane = pl.pallas_call(
-        functools.partial(_kernel_packed, vs=vs, gs=gs),
-        grid=(X,),
-        in_specs=ins,
-        out_specs=out,
-        out_shape=jax.ShapeDtypeStruct((X, Y, Z), jnp.int32),
-        interpret=_interpret(),
-    )(state.value, state.value, state.value,
-      state.weight, state.weight, state.weight)
+    (plane,) = _rolling_call(state.value, state.weight, exact=False,
+                             vs=vs, gs=gs)
     return PackedFields(plane=plane)
 
 
 @jax.jit
 def precompute_fields_packed2_pallas(state: LocalMapState) -> PackedFields2:
     """Pallas twin of ops.registration.precompute_fields_packed2."""
-    X, Y, Z = state.value.shape
-    ins, out = _specs(X, Y, Z)
-    a, b = pl.pallas_call(
-        _kernel_packed2,
-        grid=(X,),
-        in_specs=ins,
-        out_specs=[out, out],
-        out_shape=[jax.ShapeDtypeStruct((X, Y, Z), jnp.int32),
-                   jax.ShapeDtypeStruct((X, Y, Z), jnp.int32)],
-        interpret=_interpret(),
-    )(state.value, state.value, state.value,
-      state.weight, state.weight, state.weight)
+    a, b = _rolling_call(state.value, state.weight, exact=True)
     return PackedFields2(plane_a=a, plane_b=b)

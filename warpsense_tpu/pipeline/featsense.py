@@ -50,9 +50,17 @@ class FeatsenseMapping:
     """
 
     def __init__(self, params: Params, map_path: str | Path | None = None,
-                 capacity: int = 32768, max_range_mm: int = 50000):
+                 capacity: int = 32768, max_range_mm: int = 50000,
+                 fusion: str = "raymarch"):
+        """``fusion``: "raymarch" (reference-exact march, the parity
+        default), "projective" (dense sweep twin) or "auto" (Pallas
+        level-grid kernel on TPU, projective elsewhere) — the same
+        speed ladder as pipeline/warpsense.py; the featsense back end is
+        the SAME TSDF mapping the reference shares between both
+        pipelines (mapping.cpp:39-152)."""
         self.params = params
         self.capacity = int(capacity)
+        self.fusion = fusion
         m = params.map
         path = Path(map_path) if map_path is not None else m.h5_path()
         self.global_map = GlobalMap(path, m.tau, m.initial_weight, meta={
@@ -93,12 +101,35 @@ class FeatsenseMapping:
     def _update_tsdf(self, pts_world_m, mask, pose_mm: np.ndarray) -> None:
         m = self.params.map
         pts_mm = jnp.round(pts_world_m * 1000.0).astype(jnp.int32)
+        scanner_pos = jnp.asarray(
+            np.floor(pose_mm[:3, 3] / m.resolution).astype(np.int32))
+        fusion = self.fusion
+        if fusion == "auto":
+            import jax
+            ok = (jax.default_backend() == "tpu"
+                  and self.local_map.size[2] <= 256
+                  and self.params.lidar.channels <= 128)
+            fusion = "pallas" if ok else "projective"
+        if fusion in ("projective", "pallas"):
+            from ..kernels.tsdf_pallas import tsdf_update_projective_pallas
+            from ..ops.tsdf_projective import tsdf_update_projective
+            update = (tsdf_update_projective_pallas if fusion == "pallas"
+                      else tsdf_update_projective)
+            grid_rot = (jnp.eye(3, dtype=jnp.float32) if fusion == "pallas"
+                        else jnp.asarray(pose_mm[:3, :3], jnp.float32))
+            extra = {"identity_rot": True} if fusion == "pallas" else {}
+            self.state = update(
+                self.state, pts_mm, mask, scanner_pos, grid_rot,
+                size=self.local_map.size, tau=m.tau,
+                max_weight=m.max_weight_scaled, resolution=m.resolution,
+                channels=self.params.lidar.channels,
+                columns=self.params.lidar.hresolution,
+                vfov_deg=self.params.lidar.vfov, **extra)
+            return
         int_rot = to_int_mat(jnp.asarray(pose_mm, jnp.float32))
         up = transform_point_fixed(
             jnp.asarray([0, 0, MATRIX_RESOLUTION], jnp.int32),
             int_rot.at[:3, 3].set(0))
-        scanner_pos = jnp.asarray(
-            np.floor(pose_mm[:3, 3] / m.resolution).astype(np.int32))
         self.state = tsdf_update(
             self.state, pts_mm, mask, scanner_pos, up,
             size=self.local_map.size, tau=m.tau,
@@ -206,7 +237,7 @@ class FeatsenseApp:
                  feature_params: FeatureParams | None = None,
                  edge_capacity: int = 2048, surf_capacity: int = 4096,
                  cloud_capacity: int = 32768, profile: bool = False,
-                 odom_kwargs: dict | None = None):
+                 odom_kwargs: dict | None = None, fusion: str = "raymarch"):
         self.params = params
         fl = params.floam
         self.feature_params = feature_params or FeatureParams(
@@ -222,7 +253,8 @@ class FeatsenseApp:
         kwargs.update(odom_kwargs or {})
         self.odom = OdomEstimation(**kwargs)
         self.mapping = FeatsenseMapping(params, map_path,
-                                        capacity=cloud_capacity)
+                                        capacity=cloud_capacity,
+                                        fusion=fusion)
         self.floam_path: list[np.ndarray] = []
 
     def process_scan(self, cloud_m: np.ndarray, stamp: float = 0.0
