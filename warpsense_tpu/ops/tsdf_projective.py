@@ -240,14 +240,36 @@ def _projective_math(dx, dy, dz, r_vox, ringf, ring, ring_ok, colf, r_beam,
     return (jnp.where(ok, value_i, 0), jnp.where(ok, w, 0))
 
 
+def _div_trunc_by_pos(a: jax.Array, b: jax.Array) -> jax.Array:
+    """C-style trunc division for int32 ``a`` by POSITIVE int32 ``b``,
+    computed in f32 with an exact +-1 correction — bit-identical to the
+    integer division whenever |a| < 2^24 and |a| + b < 2^24 (all operands
+    and the remainder are then exactly representable, so the corrections
+    are exact).  Why: int32 division lowers to a multi-cycle sequence on
+    the TPU VPU — measured 7.6 ms of the 13 ms fusion kernel at the 91M-
+    voxel window; this form is ~6 cheap vector ops."""
+    af = jnp.abs(a).astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    q = jnp.floor(af / bf)
+    r = af - q * bf                      # exact: both products are ints<2^24
+    q = q + (r >= bf).astype(jnp.float32) - (r < 0).astype(jnp.float32)
+    qi = q.astype(jnp.int32)
+    return jnp.where(a < 0, -qi, qi)
+
+
 def _merge_planes(ev, ew, new_v, new_w, max_weight):
     """Elementwise weighted-averaging merge on int32 planes — the shared
     core of the XLA sweep and the Pallas kernel (parity cu_avg_tsdf_krnl
-    update_tsdf.cu:13-43).  Returns (value, weight) int32."""
+    update_tsdf.cu:13-43).  Returns (value, weight) int32.
+
+    The weighted average |ev*ew + nv*nw| is bounded by 2*tau*max_weight;
+    the f32-exact division below requires that < 2^24 (16.7M) — true for
+    every supported configuration (tau <= 3 m, max_weight <= 2048) and
+    asserted conservatively where static bounds are known."""
     avg_case = (new_w > 0) & (ew > 0)
     over_case = (new_w != 0) & (ew <= 0)
     den = jnp.where(avg_case, ew + new_w, 1)
-    avg_v = div_trunc(ev * ew + new_v * new_w, den)
+    avg_v = _div_trunc_by_pos(ev * ew + new_v * new_w, den)
     out_v = jnp.where(avg_case, avg_v, jnp.where(over_case, new_v, ev))
     out_w = jnp.where(avg_case, jnp.minimum(max_weight, ew + new_w),
                       jnp.where(over_case, new_w, ew))
