@@ -133,13 +133,15 @@ def build_slam_loops(cfg, *, fusion="auto"):
     tsdf_kw = dict(size=SIZE, tau=TAU, max_weight=32 * WEIGHT_RESOLUTION,
                    resolution=RES, channels=cfg["channels"],
                    columns=cfg["columns"], vfov_deg=cfg["vfov_deg"], **extra)
-    # coarse_iterations measured neutral-to-negative on-chip (the fields
-    # gather at 8K points is not 4x cheaper than at 32K — latency, not
-    # volume — and the coarse->fine re-baseline costs ~1 extra iteration),
-    # so the bench runs the plain full-resolution LM
+    # gather_freeze = the production configuration: the per-iteration
+    # cost is ~entirely the latency-bound 32K fields gather, and the
+    # sub-voxel LM tail reuses the cached gather (accuracy pinned by
+    # tests/test_registration.py::test_registration_packed_gather_freeze).
+    # (coarse_iterations measured neutral on-chip: gather latency does
+    # not scale down with the point count.)
     reg_kw = dict(size=SIZE, resolution=RES, tau=TAU,
                   max_iterations=cfg["max_iterations"],
-                  it_weight_gradient=0.1, epsilon=0.03)
+                  it_weight_gradient=0.1, epsilon=0.03, gather_freeze=True)
     pert = np.eye(4, dtype=np.float32)
     pert[:3, 3] = np.asarray([80, -60, 40]) * RES // 64
     pert = jnp.asarray(pert)

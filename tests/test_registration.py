@@ -275,3 +275,32 @@ def test_registration_packed_coarse_to_fine(corner_scene):
     rot_err, trans_err = pose_errors(np.asarray(out_c))
     assert trans_err < RESOLUTION / 2, f"translation {trans_err:.1f} mm"
     assert int(iters_c) < 40
+
+
+def test_registration_packed_gather_freeze(corner_scene):
+    """gather_freeze (cached-fields sub-voxel refinement) recovers the
+    perturbation to the same tolerance as the re-gathering loop."""
+    from warpsense_tpu.ops.registration import (precompute_fields_packed,
+                                                register_cloud_packed)
+    corner_map, scan = corner_scene
+    rng = np.random.default_rng(31)
+    pts = reg_cloud(scan, rng, 3000)
+    perturbed = pose_from([0.1, 0.5, 1.0], np.deg2rad(1.0), [60, -50, 40])
+
+    state = corner_map.device_state()
+    fields = precompute_fields_packed(state, tau=TAU)
+    mask = jnp.ones((len(pts),), bool)
+    kw = dict(size=corner_map.size, resolution=RESOLUTION, tau=TAU,
+              max_iterations=200, it_weight_gradient=0.1, epsilon=0.0)
+    out_f, iters_f, err_f = register_cloud_packed(
+        fields, state.pos, state.offset, jnp.asarray(pts, jnp.int32), mask,
+        jnp.asarray(perturbed), gather_freeze=True, **kw)
+    out_n, iters_n, _ = register_cloud_packed(
+        fields, state.pos, state.offset, jnp.asarray(pts, jnp.int32), mask,
+        jnp.asarray(perturbed), gather_freeze=False, **kw)
+    rot_f, trans_f = pose_errors(np.asarray(out_f))
+    rot_n, trans_n = pose_errors(np.asarray(out_n))
+    assert trans_f < RESOLUTION / 2, f"translation {trans_f:.1f} mm"
+    assert abs(trans_f - trans_n) < RESOLUTION / 4
+    assert abs(rot_f - rot_n) < 0.1
+    assert int(iters_f) < 40 and np.isfinite(float(err_f))

@@ -121,3 +121,23 @@ def test_packed_registration_shard_invariance(fused_pair):
     # and it actually corrected most of the perturbation
     assert np.linalg.norm(np.asarray(out1)[:3, 3]) < 40
     assert abs(int(itN) - int(it1)) <= 2
+
+
+def test_packed_registration_sharded_gather_freeze(fused_pair):
+    """Sharded gather_freeze converges to the same pose as single-chip
+    gather_freeze (cache is shard-varying, loop replicated)."""
+    single, sharded, mesh, pts, mask = fused_pair
+    pert = np.eye(4, dtype=np.float32)
+    pert[:3, 3] = [70, -50, 30]
+    kw = dict(size=SIZE, resolution=RES, tau=TAU, max_iterations=50,
+              epsilon=0.03)
+    fields1 = precompute_fields_packed(single, tau=TAU)
+    out1, _, _ = register_cloud_packed(
+        fields1, single.pos, single.offset, pts, mask, jnp.asarray(pert),
+        it_weight_gradient=0.1, gather_freeze=True, **kw)
+    fieldsN = precompute_fields_packed_sharded(sharded, mesh=mesh, tau=TAU)
+    outN, _, _ = register_cloud_packed_sharded(
+        fieldsN, sharded.pos, sharded.offset, pts, mask, jnp.asarray(pert),
+        mesh=mesh, gather_freeze=True, **kw)
+    np.testing.assert_allclose(np.asarray(outN), np.asarray(out1),
+                               rtol=1e-5, atol=2e-3)

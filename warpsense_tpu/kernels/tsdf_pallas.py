@@ -251,16 +251,19 @@ def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
         ring_ok = (ring >= 0) & (ring < channels)
         ridx = jnp.clip(ring, 0, channels - 1)
 
-        # per-(row, ring) endpoint precompute at HALF the voxel lane volume
+        # per-(row, ring) endpoint precompute at HALF the voxel lane
+        # volume; the mini rows are RAW scanner-relative endpoints — the
+        # column offset is subtracted here (exact integer-valued f32)
+        # instead of in an XLA pass over the whole 600 MB table
         mini = mini_ref[k].astype(jnp.float32)             # (YB, 3*128)
-        bxr = mini[:, 0 * _LANES:1 * _LANES]               # bx - cx
-        byr = mini[:, 1 * _LANES:2 * _LANES]               # by - cy
+        bx = mini[:, 0 * _LANES:1 * _LANES]
+        by = mini[:, 1 * _LANES:2 * _LANES]
         bzr = mini[:, 2 * _LANES:3 * _LANES]               # bz (scanner-rel)
-        hole = bxr >= hole_sentinel
+        hole = bx >= hole_sentinel
+        bxr = bx - dx                                      # bx - cx
+        byr = by - dy                                      # by - cy
         sq_xy = bxr * bxr + byr * byr         # (dx-bx)^2 + (dy-by)^2
-        abx = bxr + dx
-        aby = byr + dy
-        r_beam_row = jnp.sqrt(abx * abx + aby * aby + bzr * bzr)
+        r_beam_row = jnp.sqrt(bx * bx + by * by + bzr * bzr)
         r_beam_row = jnp.where(hole, jnp.inf, r_beam_row)
 
         sq = _gather_lanes(sq_xy, ridx)                    # (YB, ZB)
@@ -307,15 +310,11 @@ def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
 
 
 def _packed_mini_fits(size, resolution, tau) -> bool:
-    """Is the int16 column-relative mini usable?  Endpoints farther than
-    32.6 m from the scanner overflow int16 and are DROPPED (sentinel ->
-    hole), the same conservative class as the reference's ray gate
-    (update_tsdf.cu:69-75) — acceptable while most beams fit, i.e. while
-    the window half-diagonal is well inside the int16 range; beyond that
-    the f32 mini path keeps every beam."""
-    X, Y, Z = size
-    half_diag = 0.5 * math.sqrt((X * X + Y * Y + Z * Z)) * resolution
-    return half_diag + tau < 45000
+    """The packed (raw f32 scanner-relative) mini has no range
+    constraint — always usable.  (An int16 variant was measured SLOWER on
+    v5e: the in-kernel int16->f32 block conversion costs more than the
+    halved HBM traffic saves.)"""
+    return True
 
 
 @functools.partial(
@@ -385,36 +384,11 @@ def tsdf_update_projective_pallas(
                     .astype(jnp.int32), columns)           # (X, Y)
 
     packed = identity_rot and _packed_mini_fits(size, resolution, tau)
-    if packed == "i16":
-        # column-relative int16 mini: holes (inf) saturate to the 32767
-        # sentinel via the explicit where (f32->i16 of inf is UB)
-        mg = t3[col_c]                                     # (X, Y, 3*128)
-        off = jnp.concatenate([
-            jnp.broadcast_to(cx[:, None, None], (X, Y, _LANES)),
-            jnp.broadcast_to(cy[None, :, None], (X, Y, _LANES)),
-            jnp.zeros((X, Y, _LANES), jnp.float32)], axis=-1)
-        rel_col = mg - off
-        # a beam endpoint out of int16 column-relative range (> 32.6 m
-        # from the scanner — only reachable under extreme window drift)
-        # becomes a hole: conservative drop, like the reference's ray
-        # gate.  f32 -> i16 of inf is UB, hence the explicit where.
-        rc = rel_col.reshape(X, Y, 3, _LANES)
-        fit = jnp.all(jnp.isfinite(rc) & (jnp.abs(rc) <= 32600.0), axis=2)
-        fit = jnp.concatenate([fit, fit, fit], axis=-1)    # (X, Y, 384)
-        mini = jnp.where(fit, jnp.clip(rel_col, -32600.0, 32600.0),
-                         32767.0).astype(jnp.int16)        # (X, Y, 384)
-        yb, mini_lanes = _YB2, 3 * _LANES
-        xb = 5 if X % 5 == 0 else 1
-        kern_fn = _fusion_kernel_level16
-    elif packed:
-        # f32 column-relative mini: same restructured kernel, no int16
-        # conversion cost; holes stay +inf (>= the 1e8 sentinel test)
-        mg = t3[col_c]                                     # (X, Y, 3*128)
-        off = jnp.concatenate([
-            jnp.broadcast_to(cx[:, None, None], (X, Y, _LANES)),
-            jnp.broadcast_to(cy[None, :, None], (X, Y, _LANES)),
-            jnp.zeros((X, Y, _LANES), jnp.float32)], axis=-1)
-        mini = mg - off                                    # inf stays inf
+    if packed:
+        # raw scanner-relative f32 mini (the plain row gather, nothing
+        # else — the column offset subtraction happens in-kernel at half
+        # lane volume); holes stay +inf (>= the 1e8 sentinel test)
+        mini = t3[col_c]                                   # (X, Y, 3*128)
         yb, mini_lanes = _YB2, 3 * _LANES
         xb = 5 if X % 5 == 0 else 1
         kern_fn = functools.partial(_fusion_kernel_level16,

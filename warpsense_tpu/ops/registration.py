@@ -385,7 +385,7 @@ _SCP = 1.0 / (1 << 15)   # cross columns ~ p[mm] * unit-grad
 @functools.partial(
     jax.jit,
     static_argnames=("size", "resolution", "tau", "max_iterations", "interp",
-                     "coarse_iterations"),
+                     "coarse_iterations", "gather_freeze"),
 )
 def register_cloud_packed(fields: PackedFields, pos: jax.Array,
                           offset: jax.Array, points: jax.Array,
@@ -393,7 +393,8 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
                           size: tuple[int, int, int], resolution: int,
                           tau: int, max_iterations: int,
                           it_weight_gradient: float, epsilon: float,
-                          interp: bool = True, coarse_iterations: int = 0):
+                          interp: bool = True, coarse_iterations: int = 0,
+                          gather_freeze: bool = False):
     """Fast-mode GN registration against packed fields — the pipeline hot
     path.  One gather per iteration; resolution-normalized gradients (true
     GN steps); per-iteration recentering; optional gradient-interpolated
@@ -414,6 +415,16 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
     Convergence: accepted step below the residual-quantization noise floor
     (0.5 mm translation, 3e-4 rad) with error improvement below
     ``epsilon`` (mm, the reference's epsilon role).
+
+    ``gather_freeze``: once an ACCEPTED step falls below half a voxel
+    (cells can no longer move), stop re-gathering the fields table and
+    iterate on the cached per-point values/gradients — the per-iteration
+    cost is ~entirely the latency-bound 32K-element gather (~1 ms
+    measured; the stats math on 32 vregs is microseconds), so the
+    sub-voxel refinement tail becomes ~free.  The interpolated residual
+    extrapolates smoothly across the (sub-voxel) pose updates; the final
+    accepted pose differs from the re-gathering loop only when a cell
+    boundary is crossed after freezing, bounded by the half-voxel gate.
     """
     stats = make_packed_stats(fields, pos, offset, points, mask, size=size,
                               resolution=resolution, tau=tau, interp=interp)
@@ -424,10 +435,15 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
         stats_coarse = make_packed_stats(
             fields, pos, offset, points[::4], mask[::4], size=size,
             resolution=resolution, tau=tau, interp=interp)
+    split = (make_packed_stats_split(
+        fields, pos, offset, points, mask, size=size,
+        resolution=resolution, tau=tau, interp=interp)
+        if gather_freeze else None)
     del it_weight_gradient   # parity-mode ramp; LM adapts alpha itself
     return _lm_loop(stats, pretransform, max_iterations=max_iterations,
                     epsilon=epsilon, stats_coarse=stats_coarse,
-                    coarse_iterations=coarse_iterations)
+                    coarse_iterations=coarse_iterations, split=split,
+                    freeze_step_mm=resolution * 0.5)
 
 
 def make_packed_stats(fields, pos, offset, points, mask, *, size, resolution,
@@ -489,8 +505,73 @@ def make_packed_stats(fields, pos, offset, points, mask, *, size, resolution,
     return stats
 
 
+def make_packed_stats_split(fields, pos, offset, points, mask, *, size,
+                            resolution, tau, interp, index_fn=None):
+    """(gather_fn, eval_fn) split of ``make_packed_stats``:
+    ``cache = gather_fn(total)`` performs the expensive table gather +
+    decode for the cells under ``total``; ``eval_fn(cache, total)``
+    computes (H, g, e, c) for any nearby pose from the cache (pure
+    vector math).  ``eval_fn(gather_fn(T), T)`` is bit-identical to
+    ``make_packed_stats(...)(T)``."""
+    vs, gs = packed_shifts(tau)
+    exact = isinstance(fields, PackedFields2)
+    if exact:
+        plane_a = fields.plane_a.reshape(-1)
+        plane_b = fields.plane_b.reshape(-1)
+    else:
+        plane = fields.plane.reshape(-1)
+    szv = jnp.asarray(size)
+
+    def _pts(total):
+        int_mat = jnp.trunc(total * MATRIX_RESOLUTION).astype(jnp.int32)
+        return transform_point_fixed(points, int_mat)
+
+    def gather_fn(total):
+        pts = _pts(total)
+        buf = jnp.floor_divide(pts, resolution)
+        valid = mask & in_bounds(buf, pos, szv, 1)
+        if index_fn is None:
+            idx = ring_index(buf, pos, offset, size)
+        else:
+            idx, owned = index_fn(buf)
+            valid = valid & owned
+        idx = jnp.where(valid, idx, 0)
+        if exact:
+            a = plane_a[idx]
+            b = plane_b[idx]
+            v = _unpack_lo(a)
+            ok = v != -32768
+            grad = jnp.stack([_unpack_hi(a), _unpack_lo(b), _unpack_hi(b)],
+                             axis=-1)
+        else:
+            ok, v, grad = _decode_packed(plane[idx], vs, gs)
+        valid = valid & ok
+        gradf = grad.astype(jnp.float32) / float(resolution)
+        cc = buf * resolution + resolution // 2
+        return dict(valid=valid, v=v.astype(jnp.float32), gradf=gradf,
+                    cc=cc)
+
+    def eval_fn(cache, total):
+        pts = _pts(total)
+        vf32 = cache["v"]
+        gradf = cache["gradf"]
+        if interp:
+            dpos = (pts - cache["cc"]).astype(jnp.float32)
+            vf32 = vf32 + jnp.sum(gradf * dpos, axis=-1)
+        ctr = total[:3, 3]
+        p = pts.astype(jnp.float32) - ctr
+        cross = jnp.cross(p, gradf)
+        vfm = cache["valid"].astype(jnp.float32)
+        Js = jnp.concatenate([cross * _SCP, gradf], axis=-1) * vfm[:, None]
+        r = vf32 * vfm
+        return Js.T @ Js, Js.T @ r, jnp.sum(jnp.abs(r)), jnp.sum(vfm)
+
+    return gather_fn, eval_fn
+
+
 def _lm_loop(stats, pretransform, *, max_iterations, epsilon,
-             stats_coarse=None, coarse_iterations: int = 0):
+             stats_coarse=None, coarse_iterations: int = 0, split=None,
+             freeze_step_mm: float = 0.0):
     """Adaptive-LM driver over a ``stats(total)`` closure (see
     ``register_cloud_packed``); shared by the single-chip and sharded fast
     paths (the sharded stats closure psums its outputs — the loop itself is
@@ -499,20 +580,35 @@ def _lm_loop(stats, pretransform, *, max_iterations, epsilon,
     ``stats_coarse``: optional cheaper closure (subsampled points) used
     for the first ``coarse_iterations`` — the per-iteration cost is one
     latency-bound gather proportional to the point count, and the early
-    LM steps don't need full resolution (coarse-to-fine)."""
+    LM steps don't need full resolution (coarse-to-fine).
+
+    ``split``: optional ``(gather_fn, eval_fn)`` pair enabling gather
+    freezing: once an accepted step is below ``freeze_step_mm``, the
+    cached gather is reused for every later iteration (see
+    ``register_cloud_packed``'s gather_freeze)."""
     D = jnp.concatenate([jnp.full((3,), _SCP, jnp.float32),
                          jnp.full((3,), 1.0, jnp.float32)])
 
     def cond(carry):
         return (carry[0] < max_iterations) & ~carry[-1]
 
+    if split is not None:
+        gather_fn, eval_fn = split
+
     def body(carry):
-        i, acc, accH, accg, acc_err, alpha, trial, prev, _ = carry
-        if stats_coarse is None:
-            H, g, e, c = stats(trial)
+        if split is None:
+            i, acc, accH, accg, acc_err, alpha, trial, prev, _ = carry
+            if stats_coarse is None:
+                H, g, e, c = stats(trial)
+            else:
+                H, g, e, c = jax.lax.cond(i < coarse_iterations,
+                                          stats_coarse, stats, trial)
         else:
-            H, g, e, c = jax.lax.cond(i < coarse_iterations,
-                                      stats_coarse, stats, trial)
+            (i, acc, accH, accg, acc_err, alpha, trial, prev, cache,
+             frozen, _) = carry
+            reuse = frozen | (i == 0)    # init cache was built at trial=p0
+            cache = jax.lax.cond(reuse, lambda t: cache, gather_fn, trial)
+            H, g, e, c = eval_fn(cache, trial)
         err = jnp.where(c > 0.0, e / jnp.maximum(c, 1.0), jnp.inf)
 
         # the coarse->fine hand-off re-baselines: the first full-resolution
@@ -548,14 +644,31 @@ def _lm_loop(stats, pretransform, *, max_iterations, epsilon,
                   & (jnp.abs(err2 - prev[0]) < epsilon))
         finished = tiny | window | ~ok
         prev2 = jnp.concatenate([prev[1:], err2[None]])
-        return i + 1, acc2, H2, g2, err2, alpha2, trial2, prev2, finished
+        if split is None:
+            return i + 1, acc2, H2, g2, err2, alpha2, trial2, prev2, finished
+        # freeze once an ACCEPTED sub-half-voxel step proves the cells
+        # stable (translation below freeze_step_mm, rotation < 1 mrad;
+        # xi layout: [:3] rotation rad, [3:] translation mm)
+        frozen2 = frozen | (improved
+                            & (jnp.sum(xi[3:] * xi[3:])
+                               < freeze_step_mm * freeze_step_mm)
+                            & (jnp.sum(xi[:3] * xi[:3]) < 1e-6))
+        return (i + 1, acc2, H2, g2, err2, alpha2, trial2, prev2, cache,
+                frozen2, finished)
 
     p0 = pretransform.astype(jnp.float32)
     eye6 = jnp.eye(6, dtype=jnp.float32)
-    init = (jnp.int32(0), p0, eye6, jnp.zeros((6,), jnp.float32),
+    base = (jnp.int32(0), p0, eye6, jnp.zeros((6,), jnp.float32),
             jnp.float32(jnp.inf), jnp.float32(1e-3), p0,
-            jnp.full((4,), jnp.inf, jnp.float32), jnp.bool_(False))
-    iters, acc, _, _, err, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+            jnp.full((4,), jnp.inf, jnp.float32))
+    if split is None:
+        init = base + (jnp.bool_(False),)
+        iters, acc, _, _, err, _, _, _, _ = jax.lax.while_loop(
+            cond, body, init)
+        return acc, iters, err
+    init = base + (gather_fn(p0), jnp.bool_(False), jnp.bool_(False))
+    out = jax.lax.while_loop(cond, body, init)
+    iters, acc, err = out[0], out[1], out[4]
     return acc, iters, err
 
 

@@ -38,6 +38,7 @@ from ..core.geometry import div_trunc, transform_point_fixed, xi_to_transform
 from ..map.local_map import LocalMapState, in_bounds
 from ..ops.registration import (_SC, _SG, PackedFields, PackedFields2,
                                 _lm_loop, _pack16, make_packed_stats,
+                                make_packed_stats_split,
                                 packed_plane_from_neighbors)
 from ..ops.tsdf import _SENTINEL, _floor_norm, decode_key, encode_key
 from ..ops.tsdf_projective import (_merge_planes, build_beam_table,
@@ -386,13 +387,14 @@ def precompute_fields_packed_sharded(state: LocalMapState, *, mesh: Mesh,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "size", "resolution", "tau", "max_iterations",
-                     "interp"),
+                     "interp", "gather_freeze"),
 )
 def register_cloud_packed_sharded(fields, pos, offset, points, mask,
                                   pretransform, *, mesh: Mesh, size,
                                   resolution: int, tau: int,
                                   max_iterations: int, epsilon: float,
-                                  interp: bool = True):
+                                  interp: bool = True,
+                                  gather_freeze: bool = False):
     """Distributed twin of ops.registration.register_cloud_packed — same
     contract, returns ``(pose, iterations, err)``.
 
@@ -431,8 +433,22 @@ def register_cloud_packed_sharded(fields, pos, offset, points, mask,
             H, g, e, c = jax.lax.psum((H, g, e, c), axis)
             return H, g, e, c
 
+        split = None
+        if gather_freeze:
+            gather_fn, eval_local = make_packed_stats_split(
+                fields_blk, pos, offset, pts, msk, size=size,
+                resolution=resolution, tau=tau, interp=interp,
+                index_fn=index_fn)
+
+            def eval_fn(cache, total):
+                # cache is shard-varying; the psum'd stats are replicated
+                return jax.lax.psum(eval_local(cache, total), axis)
+
+            split = (gather_fn, eval_fn)
+
         return _lm_loop(stats, pre, max_iterations=max_iterations,
-                        epsilon=epsilon)
+                        epsilon=epsilon, split=split,
+                        freeze_step_mm=resolution * 0.5)
 
     return run(fields, pos, offset, points, mask,
                pretransform.astype(jnp.float32))
@@ -519,7 +535,8 @@ def slam_step_sharded(state: LocalMapState, points, mask, pretransform, *,
             fields, state.pos, state.offset, points, mask, pretransform,
             mesh=mesh, size=size, resolution=m.resolution, tau=m.tau,
             max_iterations=params.registration.max_iterations,
-            epsilon=params.registration.epsilon)
+            epsilon=params.registration.epsilon,
+            gather_freeze=params.registration.gather_freeze)
         return state, pose
     state = tsdf_update_sharded(
         state, points, mask, scanner_pos, up, mesh=mesh, size=size,

@@ -220,7 +220,8 @@ class WarpsenseApp:
                 max_iterations=reg.max_iterations,
                 it_weight_gradient=reg.it_weight_gradient,
                 epsilon=reg.epsilon,
-                coarse_iterations=reg.coarse_iterations)
+                coarse_iterations=reg.coarse_iterations,
+                gather_freeze=reg.gather_freeze)
             self.last_reg_iters = int(iters)
             self.last_reg_err = float(err)
         else:
