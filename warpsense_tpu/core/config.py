@@ -65,8 +65,8 @@ class RegistrationParams:
     # per-iteration cost is the latency-bound fields gather)
     coarse_iterations: int = 0
     # fast mode only: freeze the fields gather once the LM step drops
-    # below half a voxel — the sub-voxel refinement tail iterates on
-    # cached per-point fields (~free vs ~1 ms/gather)
+    # below one voxel — the refinement tail iterates on cached per-point
+    # fields (~free vs ~1 ms/gather)
     gather_freeze: bool = True
 
 

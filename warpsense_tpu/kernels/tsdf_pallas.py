@@ -48,8 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.consts import MATRIX_RESOLUTION, WEIGHT_RESOLUTION
 from ..map.local_map import LocalMapState, in_bounds
-from ..ops.tsdf_projective import (_global_coords, _merge_planes,
-                                   _projective_math, build_beam_table)
+from ..ops.tsdf_projective import (_ATAN_COEFFS, _global_coords,
+                                   _merge_planes, _projective_math,
+                                   atan2_poly, banded_atan,
+                                   build_beam_table)
 from ..ops.tsdf_reference import dz_per_distance
 
 _LANES = 128            # ring axis padded to one vreg row of lanes
@@ -61,30 +63,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# Mosaic has no atan2/asin lowering — minimax-style polynomial (degree 10 in
-# t^2, |err| < 1.3e-9 > f32 ulp) used by BOTH the kernel's per-voxel angles
-# and the XLA-side central-column selector, so col(v) == col_c is decided by
-# identical arithmetic on both sides.
-_ATAN_COEFFS = (
-    0.9999999997078762, -0.3333332567962122, 0.1999966704257419,
-    -0.14280018642717562, 0.11060465912885432, -0.088224286718801,
-    0.06772956472861918, -0.0451995795047598, 0.02302547988065988,
-    -0.007569172028535227, 0.001168272255317259)
-
-
-def atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
-    """Polynomial atan2 (f32), quadrant-correct; (0, 0) -> 0."""
-    ax_, ay_ = jnp.abs(x), jnp.abs(y)
-    hi = jnp.maximum(jnp.maximum(ax_, ay_), 1e-20)
-    t = jnp.minimum(ax_, ay_) / hi
-    s = t * t
-    p = jnp.float32(_ATAN_COEFFS[-1])
-    for c in reversed(_ATAN_COEFFS[:-1]):
-        p = p * s + jnp.float32(c)
-    p = p * t
-    r = jnp.where(ay_ > ax_, jnp.float32(math.pi / 2) - p, p)
-    r = jnp.where(x < 0, jnp.float32(math.pi) - r, r)
-    return jnp.where(y < 0, -r, r)
+# Mosaic has no atan2/asin lowering; atan2_poly/banded_atan live in
+# ops/tsdf_projective.py and are SHARED with the XLA twin so the twin and
+# the kernels stay bit-identical (imported above; re-exported here for
+# callers that historically imported them from this module).
 
 
 def _gather_lanes(tab: jax.Array, idx: jax.Array) -> jax.Array:
@@ -237,16 +219,11 @@ def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
 
         spacing = math.radians(vfov_deg) / (channels - 1)
         half_v = math.radians(vfov_deg) / 2.0
-        # banded atan: t = dz/rho; |t| <= 1 <=> |el| <= 45 deg covers the
-        # vFOV
-        t = dz / jnp.maximum(rho, 1e-20)
-        s = t * t
-        p = jnp.float32(_ATAN_COEFFS[-1])
-        for c in reversed(_ATAN_COEFFS[:-1]):
-            p = p * s + jnp.float32(c)
-        el = p * t                                         # == atan(dz/rho)
-        ringf = (half_v - el) / spacing
-        ringf = jnp.clip(ringf, -1e4, 1e4)  # saturate out-of-band blowup
+        # banded atan (shared with the XLA twin): |t| <= 1 <=> |el| <= 45
+        # deg covers the vFOV; the reciprocal is hoisted per row
+        inv_rho = 1.0 / jnp.maximum(rho, 1e-20)            # (YB, 1)
+        el = banded_atan(dz * inv_rho)
+        ringf = jnp.clip((half_v - el) * (1.0 / spacing), -1e4, 1e4)
         ring = jnp.round(ringf).astype(jnp.int32)
         ring_ok = (ring >= 0) & (ring < channels)
         ridx = jnp.clip(ring, 0, channels - 1)
@@ -278,13 +255,13 @@ def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
 
         dzpd = dz_per_distance(channels, vfov_deg)
         weight_epsilon = tau // 10
-        delta_z = dzpd * r_vox / MATRIX_RESOLUTION
+        delta_z = dzpd * r_vox * (1.0 / MATRIX_RESOLUTION)
         v_res = r_vox * jnp.abs(ringf - ring.astype(jnp.float32)) * spacing
         vertical_ok = v_res <= jnp.maximum(delta_z, resolution * 0.5)
         # horizontal: level grid -> per-row azimuth residual (z-invariant);
         # h_res keeps the twin's exact r_vox * col_res * k evaluation order
         az = atan2_poly(dy, dx + jnp.zeros_like(dy))       # (YB, 1)
-        colf = (az + math.pi) / (2 * math.pi) * columns
+        colf = (az + math.pi) * (columns / (2 * math.pi))
         col_res = jnp.abs(colf - jnp.round(colf))
         h_res = r_vox * col_res * (2 * math.pi / columns)
         horizontal_ok = h_res <= resolution * 0.5
@@ -292,8 +269,8 @@ def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
         interp = v_res > resolution * 0.5
         w = jnp.where(
             value < -weight_epsilon,
-            (WEIGHT_RESOLUTION * (float(tau) + value))
-            // (tau - weight_epsilon),
+            jnp.floor((WEIGHT_RESOLUTION * (float(tau) + value))
+                      * (1.0 / (tau - weight_epsilon))),
             float(WEIGHT_RESOLUTION)).astype(jnp.int32)
         ok = (ring_ok & jnp.isfinite(r_beam) & vertical_ok & horizontal_ok
               & (r_vox <= r_beam + tau) & (w != 0))

@@ -416,15 +416,16 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
     (0.5 mm translation, 3e-4 rad) with error improvement below
     ``epsilon`` (mm, the reference's epsilon role).
 
-    ``gather_freeze``: once an ACCEPTED step falls below half a voxel
-    (cells can no longer move), stop re-gathering the fields table and
+    ``gather_freeze``: once an ACCEPTED step falls below one voxel, stop
+    re-gathering the fields table and
     iterate on the cached per-point values/gradients — the per-iteration
     cost is ~entirely the latency-bound 32K-element gather (~1 ms
     measured; the stats math on 32 vregs is microseconds), so the
     sub-voxel refinement tail becomes ~free.  The interpolated residual
-    extrapolates smoothly across the (sub-voxel) pose updates; the final
+    extrapolates smoothly across the small pose updates; the final
     accepted pose differs from the re-gathering loop only when a cell
-    boundary is crossed after freezing, bounded by the half-voxel gate.
+    boundary is crossed after freezing, bounded by the one-voxel gate
+    (accuracy pinned by the recovery/ATE/stress tests).
     """
     stats = make_packed_stats(fields, pos, offset, points, mask, size=size,
                               resolution=resolution, tau=tau, interp=interp)
@@ -443,7 +444,7 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
     return _lm_loop(stats, pretransform, max_iterations=max_iterations,
                     epsilon=epsilon, stats_coarse=stats_coarse,
                     coarse_iterations=coarse_iterations, split=split,
-                    freeze_step_mm=resolution * 0.5)
+                    freeze_step_mm=float(resolution))
 
 
 def make_packed_stats(fields, pos, offset, points, mask, *, size, resolution,

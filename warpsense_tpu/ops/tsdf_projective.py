@@ -48,6 +48,46 @@ from ..map.local_map import LocalMapState, in_bounds
 from .tsdf_reference import dz_per_distance
 
 
+# ----------------------------------------------------------- shared angles
+#
+# One polynomial serves BOTH the XLA sweep and the Pallas kernels so they
+# stay bit-identical (Mosaic has no atan2/asin lowering; the twin adopting
+# the same arithmetic is what makes kernel-vs-twin parity exact).  Odd
+# minimax-style polynomial of degree 13 for atan over [-1, 1]:
+# |err| < 3.8e-7 rad — the ring bin half-width is ~3.1e-3 rad and the
+# vertical acceptance works in r*angle ~ 0.01 mm terms, both orders of
+# magnitude above the polynomial error.
+
+_ATAN_COEFFS = (
+    0.9999983562999126, -0.3332313212264718, 0.1985179587326387,
+    -0.13379591763197257, 0.08200914681344318, -0.0354820989980964,
+    0.0073824108965324904)
+
+
+def banded_atan(t: jax.Array) -> jax.Array:
+    """atan(t) for |t| <= 1 (the +-45-deg band).  OUTSIDE the band the
+    raw odd polynomial is provably >= pi/4 in magnitude and blows up
+    monotonically (verified numerically over (1, 1e6]), so a consumer
+    that rejects |elevation| > vfov/2 <= 45 deg rejects exactly the same
+    set as a full atan would."""
+    s = t * t
+    p = jnp.float32(_ATAN_COEFFS[-1])
+    for c in reversed(_ATAN_COEFFS[:-1]):
+        p = p * s + jnp.float32(c)
+    return p * t
+
+
+def atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
+    """Polynomial atan2 (f32), quadrant-correct; (0, 0) -> 0."""
+    ax_, ay_ = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(jnp.maximum(ax_, ay_), 1e-20)
+    t = jnp.minimum(ax_, ay_) / hi
+    p = banded_atan(t)
+    r = jnp.where(ay_ > ax_, jnp.float32(math.pi / 2) - p, p)
+    r = jnp.where(x < 0, jnp.float32(math.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
 # ------------------------------------------------------------- beam table
 
 def build_beam_table(points: jax.Array, mask: jax.Array,
@@ -171,16 +211,20 @@ def projective_sweep_coords(gx, gy, gz, rng_tab, endpoint, scanner_mm,
            + cz[None, None, :] * R[2, 1])
     dsz = (cx[:, None, None] * R[0, 2] + cy[None, :, None] * R[1, 2]
            + cz[None, None, :] * R[2, 2])
-    r_vox = jnp.sqrt(dsx * dsx + dsy * dsy + dsz * dsz)
-    safe_r = jnp.maximum(r_vox, 1.0)
+    rho2 = dsx * dsx + dsy * dsy
+    r_vox = jnp.sqrt(rho2 + dsz * dsz)
 
-    az = jnp.arctan2(dsy, dsx)
-    el = jnp.arcsin(jnp.clip(dsz / safe_r, -1.0, 1.0))
+    # same banded-atan arithmetic as the Pallas kernels (bit parity);
+    # |el| > 45 deg blows up and is rejected by ring_ok — requires
+    # vfov <= 90 deg, which every supported sensor satisfies
+    az = atan2_poly(dsy, dsx)
+    inv_rho = 1.0 / jnp.maximum(jnp.sqrt(rho2), 1e-20)
+    el = banded_atan(dsz * inv_rho)
     spacing = math.radians(vfov_deg) / (channels - 1)
     half_v = math.radians(vfov_deg) / 2.0
-    ringf = (half_v - el) / spacing
+    ringf = jnp.clip((half_v - el) * (1.0 / spacing), -1e4, 1e4)
     ring = jnp.round(ringf).astype(jnp.int32)
-    colf = (az + math.pi) / (2 * math.pi) * columns
+    colf = (az + math.pi) * (columns / (2 * math.pi))
     col = jnp.mod(jnp.round(colf).astype(jnp.int32), columns)
     ring_ok = (ring >= 0) & (ring < channels)
     ring_c = jnp.clip(ring, 0, channels - 1)
@@ -220,8 +264,11 @@ def _projective_math(dx, dy, dz, r_vox, ringf, ring, ring_ok, colf, r_beam,
     value = jnp.where(behind, -value, value)
 
     # vertical acceptance: the ring-interpolation band +-dz_per_distance
-    # (update_tsdf.cu:101-125); horizontal: the ray's own cell footprint
-    delta_z = dzpd * r_vox / MATRIX_RESOLUTION
+    # (update_tsdf.cu:101-125); horizontal: the ray's own cell footprint.
+    # Divisions by non-pow2 constants are reciprocal multiplies (the VPU
+    # divide is slots-expensive; consistency with the kernels keeps
+    # bit parity)
+    delta_z = dzpd * r_vox * (1.0 / MATRIX_RESOLUTION)
     v_res = r_vox * jnp.abs(ringf - ring.astype(jnp.float32)) * spacing
     vertical_ok = v_res <= jnp.maximum(delta_z, resolution * 0.5)
     col_res = jnp.abs(colf - jnp.round(colf))
@@ -231,7 +278,8 @@ def _projective_math(dx, dy, dz, r_vox, ringf, ring, ring_ok, colf, r_beam,
     interp = v_res > resolution * 0.5                    # off-ray band
     w = jnp.where(
         value < -weight_epsilon,
-        (WEIGHT_RESOLUTION * (tau + value)) // (tau - weight_epsilon),
+        jnp.floor((WEIGHT_RESOLUTION * (tau + value))
+                  * (1.0 / (tau - weight_epsilon))),
         float(WEIGHT_RESOLUTION)).astype(jnp.int32)
     ok = (ring_ok & jnp.isfinite(r_beam) & vertical_ok & horizontal_ok
           & (r_vox <= r_beam + tau) & (w != 0))
