@@ -180,7 +180,7 @@ def build_slam_loops(cfg, *, fusion="auto"):
             val = val ^ (acc & 1).astype(jnp.int16)
             st = LocalMapState(val, state.weight, state.pos, state.offset)
             f = precompute_fields_packed_auto(st, tau=TAU)
-            return val, acc + f.plane.reshape(-1)[0]
+            return val, acc + f.plane[0, 0, 0]
         _, acc = jax.lax.fori_loop(0, K, body, (state.value, jnp.int32(0)))
         return acc
 

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 from ..core.consts import MATRIX_RESOLUTION
 from ..core.geometry import div_trunc, transform_point_fixed, xi_to_transform
-from ..map.local_map import LocalMapState, in_bounds, ring_index
+from ..map.local_map import (LocalMapState, in_bounds, ring_coords,
+                             ring_index)
 
 # Column scaling: cross terms ~ p[mm] * grad[mm] ~ 2e4 * 1e3; grad ~ 1e3.
 _SC = 1.0 / (1 << 24)
@@ -125,14 +126,17 @@ def jacobian_stats_fields(fields: RegistrationFields, pos: jax.Array,
     p = (pts - center).astype(jnp.float32)
 
     valid = mask & in_bounds(buf, pos, jnp.asarray(size), 1)
-    idx = ring_index(buf, pos, offset, size)
+    # 3-D gather, NOT flat: reshape(-1) of a tiled TPU array is a full
+    # relayout copy (~3 ms at the 91M-voxel window, measured)
+    a = ring_coords(buf, pos, offset, size)
+    a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
 
-    vw = fields.vw.reshape(-1)[idx]
+    vw = fields.vw[a0, a1, a2]
     cur_v = _unpack_lo(vw)
     cur_w = _unpack_hi(vw)
     valid = valid & (cur_w != 0)
-    gxy = fields.gxy.reshape(-1)[idx]
-    gz = fields.gz.reshape(-1)[idx]
+    gxy = fields.gxy[a0, a1, a2]
+    gz = fields.gz[a0, a1, a2]
     grad = jnp.stack([_unpack_lo(gxy), _unpack_hi(gxy), _unpack_lo(gz)],
                      axis=-1).astype(jnp.float32)          # (N, 3)
     if normalize_gradient:
@@ -450,17 +454,15 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
 def make_packed_stats(fields, pos, offset, points, mask, *, size, resolution,
                       tau, interp, index_fn=None):
     """Build the per-iteration ``stats(total) -> (H, g, e, c)`` closure over
-    packed fields.  ``index_fn(buf) -> (flat_idx, owned)``: optional
+    packed fields.  ``index_fn(buf) -> (coords (N, 3), owned)``: optional
     override of the plane indexing — the sharded path maps global cells to
-    shard-LOCAL flat indices and gates by shard ownership; the default is
-    the full-window ring index with every in-bounds cell owned."""
+    shard-LOCAL array coords and gates by shard ownership; the default is
+    the full-window ring coords with every in-bounds cell owned.  Gathers
+    are 3-D (array-coordinate), NEVER flat: reshape(-1) of a tiled TPU
+    array is a full relayout copy (~3 ms at the 91M-voxel window,
+    measured)."""
     vs, gs = packed_shifts(tau)
     exact = isinstance(fields, PackedFields2)
-    if exact:
-        plane_a = fields.plane_a.reshape(-1)
-        plane_b = fields.plane_b.reshape(-1)
-    else:
-        plane = fields.plane.reshape(-1)
     szv = jnp.asarray(size)
 
     def stats(total):
@@ -469,20 +471,21 @@ def make_packed_stats(fields, pos, offset, points, mask, *, size, resolution,
         buf = jnp.floor_divide(pts, resolution)
         valid = mask & in_bounds(buf, pos, szv, 1)
         if index_fn is None:
-            idx = ring_index(buf, pos, offset, size)
+            a = ring_coords(buf, pos, offset, size)
         else:
-            idx, owned = index_fn(buf)
+            a, owned = index_fn(buf)
             valid = valid & owned
-        idx = jnp.where(valid, idx, 0)
+        a = jnp.where(valid[:, None], a, 0)
+        a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
         if exact:
-            a = plane_a[idx]
-            b = plane_b[idx]
-            v = _unpack_lo(a)
+            pa = fields.plane_a[a0, a1, a2]
+            pb = fields.plane_b[a0, a1, a2]
+            v = _unpack_lo(pa)
             ok = v != -32768
-            grad = jnp.stack([_unpack_hi(a), _unpack_lo(b), _unpack_hi(b)],
-                             axis=-1)
+            grad = jnp.stack([_unpack_hi(pa), _unpack_lo(pb),
+                              _unpack_hi(pb)], axis=-1)
         else:
-            ok, v, grad = _decode_packed(plane[idx], vs, gs)
+            ok, v, grad = _decode_packed(fields.plane[a0, a1, a2], vs, gs)
         valid = valid & ok
         gradf = grad.astype(jnp.float32) / float(resolution)   # mm per mm
         vf32 = v.astype(jnp.float32)
@@ -516,11 +519,6 @@ def make_packed_stats_split(fields, pos, offset, points, mask, *, size,
     ``make_packed_stats(...)(T)``."""
     vs, gs = packed_shifts(tau)
     exact = isinstance(fields, PackedFields2)
-    if exact:
-        plane_a = fields.plane_a.reshape(-1)
-        plane_b = fields.plane_b.reshape(-1)
-    else:
-        plane = fields.plane.reshape(-1)
     szv = jnp.asarray(size)
 
     def _pts(total):
@@ -532,20 +530,21 @@ def make_packed_stats_split(fields, pos, offset, points, mask, *, size,
         buf = jnp.floor_divide(pts, resolution)
         valid = mask & in_bounds(buf, pos, szv, 1)
         if index_fn is None:
-            idx = ring_index(buf, pos, offset, size)
+            a = ring_coords(buf, pos, offset, size)
         else:
-            idx, owned = index_fn(buf)
+            a, owned = index_fn(buf)
             valid = valid & owned
-        idx = jnp.where(valid, idx, 0)
+        a = jnp.where(valid[:, None], a, 0)
+        a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
         if exact:
-            a = plane_a[idx]
-            b = plane_b[idx]
-            v = _unpack_lo(a)
+            pa = fields.plane_a[a0, a1, a2]
+            pb = fields.plane_b[a0, a1, a2]
+            v = _unpack_lo(pa)
             ok = v != -32768
-            grad = jnp.stack([_unpack_hi(a), _unpack_lo(b), _unpack_hi(b)],
+            grad = jnp.stack([_unpack_hi(pa), _unpack_lo(pb), _unpack_hi(pb)],
                              axis=-1)
         else:
-            ok, v, grad = _decode_packed(plane[idx], vs, gs)
+            ok, v, grad = _decode_packed(fields.plane[a0, a1, a2], vs, gs)
         valid = valid & ok
         gradf = grad.astype(jnp.float32) / float(resolution)
         cc = buf * resolution + resolution // 2

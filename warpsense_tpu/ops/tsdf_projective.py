@@ -230,10 +230,12 @@ def projective_sweep_coords(gx, gy, gz, rng_tab, endpoint, scanner_mm,
     ring_c = jnp.clip(ring, 0, channels - 1)
 
     flat = col * channels + ring_c
-    r_beam = rng_tab[flat.reshape(-1)].reshape(flat.shape)
-    ex = endpoint[:, 0][flat.reshape(-1)].reshape(flat.shape)
-    ey = endpoint[:, 1][flat.reshape(-1)].reshape(flat.shape)
-    ez = endpoint[:, 2][flat.reshape(-1)].reshape(flat.shape)
+    # gather with the N-D index array directly — a reshape(-1) round trip
+    # relayouts the whole tiled index/value cubes on TPU (~1 ms each)
+    r_beam = rng_tab[flat]
+    ex = endpoint[:, 0][flat]
+    ey = endpoint[:, 1][flat]
+    ez = endpoint[:, 2][flat]
 
     return _projective_math(
         cx[:, None, None] + jnp.zeros_like(r_vox),

@@ -104,9 +104,8 @@ def _sharded_jacobian_stats(value_blk, weight_blk, pos, offset, points, mask,
         ai = jnp.where(mine, ax_local + dx, 0)
         ay = jnp.mod(a[:, 1] + dy, Y)
         az = jnp.mod(a[:, 2] + dz, Z)
-        flat = (ai * (Y * Z) + ay * Z + az)
-        return (vh.reshape(-1)[flat].astype(jnp.int32),
-                wh.reshape(-1)[flat].astype(jnp.int32))
+        return (vh[ai, ay, az].astype(jnp.int32),
+                wh[ai, ay, az].astype(jnp.int32))
 
     cur_v, cur_w = at(0, 0, 0)
     valid = mine & (cur_w != 0)
@@ -419,10 +418,13 @@ def register_cloud_packed_sharded(fields, pos, offset, points, mask,
         szv = jnp.asarray(size)
 
         def index_fn(buf):
+            # shard-LOCAL array coords (3-D gather; flat indexing would
+            # force a tiled-layout relayout of the whole block)
             a = jnp.mod(buf - pos + offset, szv)
             owned = a[:, 0] // Xs == shard
-            local = (a[:, 0] - shard * Xs) * (Y * Z) + a[:, 1] * Z + a[:, 2]
-            return local, owned
+            coords = jnp.stack([a[:, 0] - shard * Xs, a[:, 1], a[:, 2]],
+                               axis=-1)
+            return coords, owned
 
         local_stats = make_packed_stats(
             fields_blk, pos, offset, pts, msk, size=size,
