@@ -262,7 +262,9 @@ def build_featsense_loops(cfg):
 
 # ------------------------------------------------------------------ scaling
 
-SCALING_CFG = dict(size=(256, 129, 129), tau=600, res=64, n=8190, k=3,
+# window large enough that the O(voxels) sweep — the part that shards —
+# dominates the per-step fixed costs (beam table, replicated LM solve)
+SCALING_CFG = dict(size=(384, 193, 193), tau=600, res=64, n=8190, k=3,
                    channels=64, columns=256, vfov_deg=45.0, max_iterations=12)
 
 
@@ -348,8 +350,16 @@ def measure_scaling(max_devices: int | None = None):
         out["scans_per_s"].append(round(1.0 / d["sec"], 3))
     s = out["scans_per_s"]
     out["efficiency"] = round(s[-1] / (s[0] * out["devices"][-1]), 3)
-    out["note"] = (f"virtual CPU mesh on {cores} cores (stand-in for the "
-                   "2-host v5e target; one TPU chip is attached)")
+    # on this host the 1-device baseline already saturates both cores via
+    # XLA intra-op threading, so `efficiency` is bounded near 1/devices by
+    # construction; `sharding_overhead` isolates what the mesh actually
+    # costs (halo ppermute + psum + replicated solve) at fixed compute
+    out["sharding_overhead"] = round(max(0.0, 1.0 - s[-1] / s[0]), 3)
+    out["note"] = (f"virtual CPU mesh on {cores} cores: 1-device baseline "
+                   "is already multi-threaded, so per-device efficiency is "
+                   "core-bound; sharding_overhead is the honest collective "
+                   "cost (stand-in for the 2-host v5e target; one TPU chip "
+                   "is attached)")
     return out
 
 

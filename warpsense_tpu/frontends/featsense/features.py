@@ -143,9 +143,19 @@ def extract_features(cloud: jax.Array, *, params: FeatureParams = FeatureParams(
         c_sorted = jnp.take_along_axis(bcurv, order, axis=-1)      # (H,nb,BLK)
         v_sorted = jnp.take_along_axis(bvalid, order, axis=-1)
         cand = v_sorted & accept_fn(c_sorted)                      # static gate
+        # cand is prefix-true along the rank axis (the sort key makes the
+        # threshold gate monotone; invalid entries sort last) — so the
+        # rank loop can stop at the last rank with any candidate left, or
+        # when every block's budget is spent (exact early exit)
+        alive = jnp.any(cand, axis=(0, 1))                         # (BLK,)
 
-        def body(r, carry):
-            blocked, count, sel_rank = carry
+        def cond(carry):
+            r, _, count, _ = carry
+            return (r < BLK) & alive[jnp.minimum(r, BLK - 1)] \
+                & ~jnp.all(count >= budget)
+
+        def body(carry):
+            r, blocked, count, sel_rank = carry
             pos = jax.lax.dynamic_index_in_dim(order, r, axis=-1,
                                                keepdims=False)     # (H, nb)
             ok0 = jax.lax.dynamic_index_in_dim(cand, r, axis=-1,
@@ -160,29 +170,29 @@ def extract_features(cloud: jax.Array, *, params: FeatureParams = FeatureParams(
             lo = pos[..., None] + (5 + mark_lo)                    # (H,nb,1)
             mark = (loc_iota >= lo) & (loc_iota < lo + (mark_hi - mark_lo))
             blocked = blocked | (accept[..., None] & mark)
-            return blocked, count + accept, sel_rank
+            return r + 1, blocked, count + accept, sel_rank
 
         def rank_to_pos(sel_rank):
             # invert the rank permutation: position p was rank inv[p]
             inv = jnp.argsort(order, axis=-1)
             return jnp.take_along_axis(sel_rank, inv, axis=-1)
 
-        return body, rank_to_pos
+        return cond, body, rank_to_pos
 
     count0 = jnp.zeros((H, nb), jnp.int32)
     sel0 = jnp.zeros((H, nb, BLK), bool)
 
-    edge_body, edge_map = make_pass(
+    edge_cond, edge_body, edge_map = make_pass(
         order_desc, lambda c: c >= params.edge_threshold,
         -5, 5, params.max_edge_per_block)
-    blocked, _, edge_sel_rank = jax.lax.fori_loop(
-        0, BLK, edge_body, (blocked0, count0, sel0))
+    _, blocked, _, edge_sel_rank = jax.lax.while_loop(
+        edge_cond, edge_body, (jnp.int32(0), blocked0, count0, sel0))
     edge_sel = edge_map(edge_sel_rank)
-    surf_body, surf_map = make_pass(
+    surf_cond, surf_body, surf_map = make_pass(
         order_asc, lambda c: c <= params.surf_threshold,
         -5, 6, params.max_surf_per_block)
-    _, _, surf_sel_rank = jax.lax.fori_loop(
-        0, BLK, surf_body, (blocked, count0, sel0))
+    _, _, _, surf_sel_rank = jax.lax.while_loop(
+        surf_cond, surf_body, (jnp.int32(0), blocked, count0, sel0))
     surf_sel = surf_map(surf_sel_rank)
 
     flat_idx = (jnp.arange(H)[:, None, None] * W + cols_c[None]).reshape(-1)
