@@ -184,7 +184,7 @@ def make_pallas(kern_fn, yb=_YB):
     return run
 
 
-run_level = make_pallas(tp._fusion_kernel_level)
+run_level = make_pallas(tp._fusion_kernel)  # legacy level kernel removed
 print(f"pallas level kernel alone: "
       f"{timed(run_level, mini, state.value, state.weight)*1e3:.2f} ms",
       flush=True)

@@ -11,15 +11,14 @@ import jax.numpy as jnp
 from bench import room_cloud
 from warpsense_tpu.core.consts import WEIGHT_RESOLUTION
 from warpsense_tpu.map.local_map import LocalMapState
-from warpsense_tpu.kernels.tsdf_pallas import (tsdf_update_projective_pallas,
-                                               _packed_mini_fits)
+from warpsense_tpu.kernels.tsdf_pallas import tsdf_update_projective_pallas
 
 K = 8
 TAU, RES = 600, 64
 SIZE = (625, 625, 235)
 N = 32766
 
-print("packed fits:", _packed_mini_fits(SIZE, RES, TAU))
+
 
 pts = jnp.asarray(room_cloud(N))
 mask = jnp.ones((N,), bool)

@@ -272,8 +272,10 @@ def _emit_msg(header, data, connections, topics) -> BagMessage | None:
     topic, dtype = connections.get(conn, ("?", "?"))
     if topics is not None and topic not in topics:
         return None
+    # rosbag1 time field: sec (uint32 LE) then nsec (uint32 LE) — so the
+    # LOW half of the little-endian 8-byte value is the seconds
     t = int.from_bytes(header[b"time"], "little")
-    stamp = (t & 0xFFFFFFFF) * 1e-9 + (t >> 32)
+    stamp = (t & 0xFFFFFFFF) + (t >> 32) * 1e-9
     parser = _PARSERS.get(dtype)
     return BagMessage(topic, dtype, stamp,
                       parser(data) if parser else data)
@@ -321,7 +323,7 @@ class BagWriter:
         cid = self._connection(topic, datatype)
         sec = int(stamp)
         nsec = int(round((stamp - sec) * 1e9))
-        t = (sec << 32) | nsec
+        t = sec | (nsec << 32)          # sec LE then nsec LE on the wire
         self._write_record({b"op": bytes([_OP_MSG]),
                             b"conn": cid.to_bytes(4, "little"),
                             b"time": t.to_bytes(8, "little")}, payload)

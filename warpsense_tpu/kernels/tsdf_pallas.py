@@ -55,7 +55,8 @@ from ..ops.tsdf_projective import (_ATAN_COEFFS, _global_coords,
 from ..ops.tsdf_reference import dz_per_distance
 
 _LANES = 128            # ring axis padded to one vreg row of lanes
-_YB = 64                # y rows per block
+_YB = 64                # y rows per block (general-rotation kernel)
+_YB2 = 128              # y rows per block (production level kernel)
 _ZB = 256               # z lanes per block (covers Z<=256 in one block)
 
 
@@ -129,82 +130,27 @@ def _fusion_kernel(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref, w_ref,
     out_w_ref[0] = out_w.astype(jnp.int16)
 
 
-def _fusion_kernel_level(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref, w_ref,
-                         out_v_ref, out_w_ref, *, tau, max_weight,
-                         resolution, channels, columns, vfov_deg):
-    """Identity-rotation specialization of ``_fusion_kernel``.
-
-    The Pallas path always bins on a map-aligned (level) grid
-    (pipeline/warpsense.py), where the azimuth of a vertical voxel column
-    is EXACTLY z-invariant: dsx = dx, dsy = dy carry no z term, so
-    col(v) == col_c by identical arithmetic for every z — the per-voxel
-    atan2 and the beam-window test drop out bit-exactly, and colf/col_res
-    hoist to one per-column evaluation.  ~30% less VPU work per voxel.
-    """
-    i = pl.program_id(0)
-    dx = cxs_ref[i, 0]
-    dy = cys_ref[:, 0:1]                                   # (YB, 1)
-    dz = czs_ref[0:1, :]                                   # (1, ZB)
-
-    rho2 = dx * dx + dy * dy                               # (YB, 1)
-    r_vox = jnp.sqrt(rho2 + dz * dz)                       # (YB, ZB)
-    az = atan2_poly(dy, dx + jnp.zeros_like(dy))           # (YB, 1)
-    el = atan2_poly(dz + jnp.zeros_like(dy), jnp.sqrt(rho2)
-                    + jnp.zeros_like(dz))                  # (YB, ZB)
-    spacing = math.radians(vfov_deg) / (channels - 1)
-    half_v = math.radians(vfov_deg) / 2.0
-    ringf = (half_v - el) / spacing
-    ring = jnp.round(ringf).astype(jnp.int32)
-    ring_ok = (ring >= 0) & (ring < channels)
-    colf = (az + math.pi) / (2 * math.pi) * columns        # (YB, 1)
-
-    mini = mini_ref[0]                                     # (YB, 3*128+1)
-    ridx = jnp.clip(ring, 0, channels - 1)
-    bx = _gather_lanes(mini[:, 0 * _LANES:1 * _LANES], ridx)
-    by = _gather_lanes(mini[:, 1 * _LANES:2 * _LANES], ridx)
-    bz = _gather_lanes(mini[:, 2 * _LANES:3 * _LANES], ridx)
-    r_beam = jnp.sqrt(bx * bx + by * by + bz * bz)
-    r_beam = jnp.where(jnp.isfinite(bx), r_beam, jnp.inf)
-
-    dxb = dx + jnp.zeros_like(r_vox)
-    dyb = dy + jnp.zeros_like(r_vox)
-    dzb = dz + jnp.zeros_like(r_vox)
-    new_v, new_w = _projective_math(
-        dxb, dyb, dzb, r_vox, ringf, ring, ring_ok, colf + jnp.zeros_like(
-            r_vox), r_beam, bx, by, bz, tau=tau, resolution=resolution,
-        channels=channels, columns=columns, vfov_deg=vfov_deg)
-
-    ev = v_ref[0].astype(jnp.int32)
-    ew = w_ref[0].astype(jnp.int32)
-    out_v, out_w = _merge_planes(ev, ew, new_v, new_w, max_weight)
-    out_v_ref[0] = out_v.astype(jnp.int16)
-    out_w_ref[0] = out_w.astype(jnp.int16)
-
-
-_YB2 = 128              # y rows per block of the packed level kernel
-
-
 def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
                            w_ref, out_v_ref, out_w_ref, *, tau, max_weight,
                            resolution, channels, columns, vfov_deg,
                            hole_sentinel=32767.0):
-    """Packed-mini specialization of ``_fusion_kernel_level`` (the
-    production TPU fusion kernel).  Same math, restructured for VPU
-    throughput — measured ~1.8x on v5e:
+    """The PRODUCTION level-grid fusion kernel (identity beam attitude).
+    Restructured for VPU throughput (~2.5x the naive level kernel on
+    v5e):
 
-    * the mini rows carry int16 COLUMN-RELATIVE endpoints (bx - cx,
-      by - cy, bz): because a level column's voxel centers share the
-      column's (cx, cy), the per-voxel endpoint offsets (dx - bx) collapse
-      to the gathered value itself — the x/y legs of the distance move
-      from per-voxel to per-(row, ring) precompute at HALF the lane
-      volume, and the mini table halves to int16 (301 MB -> kernel reads
-      at bandwidth);
+    * mini rows are raw scanner-relative f32 endpoints; the column offset
+      (bx - cx, by - cy) is subtracted in-kernel at per-(row, ring)
+      volume — because a level column's voxel centers share the column's
+      (cx, cy), the per-voxel endpoint offsets (dx - bx) collapse to the
+      gathered value itself: the x/y legs of the point-to-endpoint
+      distance move from per-voxel to per-ring precompute at HALF the
+      lane volume;
     * elevation binning drops the atan2 quadrant swap: t = dz/rho with
       |t| <= 1 inside the vFOV; outside, the raw odd polynomial is
       provably >= pi/4 (verified numerically over (1, 1e6]), so ring_ok
       rejects exactly the voxels the swap path would reject;
-    * 128-row y blocks (DMA efficiency: +25% effective HBM bandwidth
-      measured vs 64-row blocks).
+    * 128-row y blocks and 5-slice x blocks (DMA efficiency: +25%
+      effective HBM bandwidth measured vs (1, 64, 256) blocks).
     """
     i = pl.program_id(0)
     xb = v_ref.shape[0]
@@ -286,14 +232,6 @@ def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
         out_w_ref[k] = out_w.astype(jnp.int16)
 
 
-def _packed_mini_fits(size, resolution, tau) -> bool:
-    """The packed (raw f32 scanner-relative) mini has no range
-    constraint — always usable.  (An int16 variant was measured SLOWER on
-    v5e: the in-kernel int16->f32 block conversion costs more than the
-    halved HBM traffic saves.)"""
-    return True
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("size", "tau", "max_weight", "resolution", "channels",
@@ -360,11 +298,13 @@ def tsdf_update_projective_pallas(
     col_c = jnp.mod(jnp.round((az_c + math.pi) / (2 * math.pi) * columns)
                     .astype(jnp.int32), columns)           # (X, Y)
 
-    packed = identity_rot and _packed_mini_fits(size, resolution, tau)
-    if packed:
+    if identity_rot:
         # raw scanner-relative f32 mini (the plain row gather, nothing
         # else — the column offset subtraction happens in-kernel at half
-        # lane volume); holes stay +inf (>= the 1e8 sentinel test)
+        # lane volume); holes stay +inf (>= the 1e8 sentinel test).
+        # (An int16 mini was measured SLOWER on v5e: the in-kernel
+        # int16->f32 block conversion costs more than the halved HBM
+        # traffic saves.)
         mini = t3[col_c]                                   # (X, Y, 3*128)
         yb, mini_lanes = _YB2, 3 * _LANES
         xb = 5 if X % 5 == 0 else 1
@@ -375,7 +315,7 @@ def tsdf_update_projective_pallas(
         mini = jnp.concatenate([mini, col_c[..., None].astype(jnp.float32)],
                                axis=-1)                    # (X, Y, 3*128+1)
         yb, mini_lanes, xb = _YB, 3 * _LANES + 1, 1
-        kern_fn = _fusion_kernel_level if identity_rot else _fusion_kernel
+        kern_fn = _fusion_kernel      # general-rotation path
 
     kern = functools.partial(
         kern_fn, tau=tau, max_weight=max_weight,

@@ -32,16 +32,26 @@ from typing import Callable
 import numpy as np
 
 
+def _owned_copy(x):
+    """Device-side copy for jax arrays (fast; protects against buffer
+    donation), passthrough copy for numpy."""
+    if hasattr(x, "block_until_ready"):    # jax array
+        return x.copy()
+    return np.array(x)
+
+
 class LiveMonitor:
     """Pub/sub hub + rolling run state (thread-safe)."""
 
-    def __init__(self):
+    def __init__(self, map_snapshot_period_s: float = 1.0):
         self._subs: dict[str, list[Callable]] = {}
         self._lock = threading.Lock()
         self.path: list[tuple[float, np.ndarray]] = []    # (stamp, 4x4 mm)
         self.status: dict = {"scans": 0, "started": time.time()}
         self._map_state = None
         self._map_meta: dict = {}
+        self._map_snapshot_period_s = float(map_snapshot_period_s)
+        self._last_map_snapshot = 0.0
 
     def subscribe(self, topic: str, fn: Callable) -> None:
         with self._lock:
@@ -71,12 +81,26 @@ class LiveMonitor:
     def publish_map(self, state, *, resolution: int, tau: int) -> None:
         """Map-window snapshot (the reference's marker cloud,
         visualization/map.h:14-121); stored by reference, rendered lazily
-        by consumers."""
+        by consumers.
+
+        Rate-limited (``map_snapshot_period_s``), and the stored snapshot
+        is a COPY of the value/weight buffers: the pipelines' fusion ops
+        donate their state, so holding the caller's arrays would leave
+        consumers reading deleted buffers one scan later."""
+        now = time.time()
         with self._lock:
-            self._map_state = state
+            if now - self._last_map_snapshot < self._map_snapshot_period_s \
+                    and self._map_state is not None:
+                return
+            self._last_map_snapshot = now
+        snap = type(state)(
+            value=_owned_copy(state.value), weight=_owned_copy(state.weight),
+            pos=np.asarray(state.pos), offset=np.asarray(state.offset))
+        with self._lock:
+            self._map_state = snap
             self._map_meta = {"resolution": resolution, "tau": tau}
             self.status["map_epoch"] = self.status.get("map_epoch", 0) + 1
-        self._emit("map", state)
+        self._emit("map", snap)
 
     def publish_shift(self, pos_voxels) -> None:
         """Window re-center event (the shift thread's skeleton publish,

@@ -434,6 +434,11 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
     stats = make_packed_stats(fields, pos, offset, points, mask, size=size,
                               resolution=resolution, tau=tau, interp=interp)
     stats_coarse = None
+    if gather_freeze:
+        # the freeze path supersedes coarse-to-fine (the split loop would
+        # silently ignore the coarse closure while its force-accept still
+        # fired — see the _lm_loop hand-off logic)
+        coarse_iterations = 0
     if coarse_iterations > 0:
         # 1-in-4 deterministic subsample for the early iterations (the
         # dedup'd cloud has no organized structure for a stride to alias)
@@ -612,16 +617,19 @@ def _lm_loop(stats, pretransform, *, max_iterations, epsilon,
         err = jnp.where(c > 0.0, e / jnp.maximum(c, 1.0), jnp.inf)
 
         # the coarse->fine hand-off re-baselines: the first full-resolution
-        # evaluation becomes the accepted state (coarse and fine error
-        # populations differ slightly; comparing across them would
-        # spuriously reject one step)
+        # evaluation becomes the accepted state AND the accepted error
+        # (coarse and fine error populations differ slightly; comparing
+        # across them would spuriously reject/stall)
         improved = err <= acc_err
-        if stats_coarse is not None:
-            improved = improved | (i == coarse_iterations)
+        if stats_coarse is not None and split is None:
+            rebase = i == coarse_iterations
+            improved = improved | rebase
+            err2 = jnp.where(rebase, err, jnp.minimum(err, acc_err))
+        else:
+            err2 = jnp.minimum(err, acc_err)
         acc2 = jnp.where(improved, trial, acc)
         H2 = jnp.where(improved, H, accH)
         g2 = jnp.where(improved, g, accg)
-        err2 = jnp.minimum(err, acc_err)
         alpha2 = jnp.clip(jnp.where(improved, alpha / 3.0, alpha * 4.0),
                           1e-5, 1e5)
 

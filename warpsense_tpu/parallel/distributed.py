@@ -95,7 +95,7 @@ def gather_state(state: LocalMapState) -> LocalMapState:
     process-local data plus an allgather when multi-host)."""
     def np_of(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            x = jax.experimental.multihost_utils.process_allgather(
-                x, tiled=True)
+            from jax.experimental import multihost_utils
+            x = multihost_utils.process_allgather(x, tiled=True)
         return np.asarray(x)
     return LocalMapState(*(np_of(x) for x in state))

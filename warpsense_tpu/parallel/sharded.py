@@ -450,7 +450,7 @@ def register_cloud_packed_sharded(fields, pos, offset, points, mask,
 
         return _lm_loop(stats, pre, max_iterations=max_iterations,
                         epsilon=epsilon, split=split,
-                        freeze_step_mm=resolution * 0.5)
+                        freeze_step_mm=float(resolution))
 
     return run(fields, pos, offset, points, mask,
                pretransform.astype(jnp.float32))

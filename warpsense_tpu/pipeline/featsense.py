@@ -28,8 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Params
-from ..core.consts import MATRIX_RESOLUTION
-from ..core.geometry import to_int_mat, transform_point_fixed
 from ..frontends.featsense.features import extract_features
 from ..frontends.featsense.features_reference import FeatureParams
 from ..frontends.featsense.odometry import OdomEstimation, voxel_downsample
@@ -37,7 +35,7 @@ from ..frontends.featsense.vgicp import vgicp_align
 from ..map.global_map import GlobalMap
 from ..map.local_map import LocalMap
 from ..obs.profiler import RuntimeEvaluator
-from ..ops.tsdf import plan_raymarch, tsdf_update
+from ..ops.tsdf import plan_raymarch
 from ..utils.ring_buffer import ConcurrentRingBuffer
 from .warpsense import _mat_to_quat_np
 
@@ -99,44 +97,12 @@ class FeatsenseMapping:
         return p, m2
 
     def _update_tsdf(self, pts_world_m, mask, pose_mm: np.ndarray) -> None:
-        m = self.params.map
+        from .fusion_backend import fuse_cloud
         pts_mm = jnp.round(pts_world_m * 1000.0).astype(jnp.int32)
-        scanner_pos = jnp.asarray(
-            np.floor(pose_mm[:3, 3] / m.resolution).astype(np.int32))
-        fusion = self.fusion
-        if fusion == "auto":
-            import jax
-            ok = (jax.default_backend() == "tpu"
-                  and self.local_map.size[2] <= 256
-                  and self.params.lidar.channels <= 128)
-            fusion = "pallas" if ok else "projective"
-        if fusion in ("projective", "pallas"):
-            from ..kernels.tsdf_pallas import tsdf_update_projective_pallas
-            from ..ops.tsdf_projective import tsdf_update_projective
-            update = (tsdf_update_projective_pallas if fusion == "pallas"
-                      else tsdf_update_projective)
-            grid_rot = (jnp.eye(3, dtype=jnp.float32) if fusion == "pallas"
-                        else jnp.asarray(pose_mm[:3, :3], jnp.float32))
-            extra = {"identity_rot": True} if fusion == "pallas" else {}
-            self.state = update(
-                self.state, pts_mm, mask, scanner_pos, grid_rot,
-                size=self.local_map.size, tau=m.tau,
-                max_weight=m.max_weight_scaled, resolution=m.resolution,
-                channels=self.params.lidar.channels,
-                columns=self.params.lidar.hresolution,
-                vfov_deg=self.params.lidar.vfov, **extra)
-            return
-        int_rot = to_int_mat(jnp.asarray(pose_mm, jnp.float32))
-        up = transform_point_fixed(
-            jnp.asarray([0, 0, MATRIX_RESOLUTION], jnp.int32),
-            int_rot.at[:3, 3].set(0))
-        self.state = tsdf_update(
-            self.state, pts_mm, mask, scanner_pos, up,
-            size=self.local_map.size, tau=m.tau,
-            max_weight=m.max_weight_scaled, resolution=m.resolution,
-            max_steps=self.max_steps, max_isteps=self.max_isteps,
-            channels=self.params.lidar.channels,
-            vfov_deg=self.params.lidar.vfov)
+        self.state = fuse_cloud(
+            self.state, pts_mm, mask, pose_mm, params=self.params,
+            size=self.local_map.size, fusion=self.fusion,
+            max_steps=self.max_steps, max_isteps=self.max_isteps)
 
     def _maybe_shift(self, pose_mm: np.ndarray) -> None:
         m = self.params.map

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Params
-from ..core.consts import MATRIX_RESOLUTION
 from ..core.geometry import to_int_mat, transform_point_fixed
 from ..map.global_map import GlobalMap
 from ..map.local_map import LocalMap
@@ -34,8 +33,7 @@ from ..ops.preprocess import preprocess
 from ..ops.registration import (precompute_fields,
                                 precompute_fields_packed_auto,
                                 register_cloud_fields, register_cloud_packed)
-from ..ops.tsdf import plan_raymarch, tsdf_update
-from ..ops.tsdf_projective import tsdf_update_projective
+from ..ops.tsdf import plan_raymarch
 from ..utils.filter import SlidingWindowFilter
 from ..utils.imu import ImuAccumulator, ImuSample
 from ..utils.ring_buffer import ConcurrentRingBuffer
@@ -288,52 +286,15 @@ class WarpsenseApp:
     # -------------------------------------------------------------- internals
     def _update_tsdf(self, pts, mask, pose: np.ndarray | None = None) -> None:
         """Fuse a (map-frame) cloud captured at ``pose`` (default: the
-        current pose) — the pose fixes the projective ray origin."""
-        m = self.params.map
+        current pose) — the pose fixes the projective ray origin.  Backend
+        dispatch is shared with featsense (pipeline/fusion_backend.py)."""
+        from .fusion_backend import fuse_cloud
         if pose is None:
             pose = self.pose
-        scanner_pos = jnp.asarray(
-            np.floor(pose[:3, 3] / m.resolution).astype(np.int32))
-        fusion = self.fusion
-        if fusion == "auto":
-            import jax
-            ok = (jax.default_backend() == "tpu"
-                  and self.local_map.size[2] <= 256
-                  and self.params.lidar.channels <= 128)
-            fusion = "pallas" if ok else "projective"
-        if fusion in ("projective", "pallas"):
-            from ..kernels.tsdf_pallas import tsdf_update_projective_pallas
-            update = (tsdf_update_projective_pallas if fusion == "pallas"
-                      else tsdf_update_projective)
-            # The beam grid attitude only defines the spherical binning of
-            # the (already map-frame) scan, not the geometry.  The Pallas
-            # kernel's beam-window invariant is exact for a LEVEL grid
-            # (azimuth of a vertical voxel column is z-invariant), so the
-            # Pallas path always bins on a map-aligned grid; the XLA twin
-            # keeps the sensor attitude for reference-exact behavior.
-            grid_rot = (jnp.eye(3, dtype=jnp.float32) if fusion == "pallas"
-                        else jnp.asarray(pose[:3, :3], jnp.float32))
-            extra = {"identity_rot": True} if fusion == "pallas" else {}
-            self.state = update(
-                self.state, pts, mask, scanner_pos,
-                grid_rot,
-                size=self.local_map.size, tau=m.tau,
-                max_weight=m.max_weight_scaled, resolution=m.resolution,
-                channels=self.params.lidar.channels,
-                columns=self.params.lidar.hresolution,
-                vfov_deg=self.params.lidar.vfov, **extra)
-        else:
-            int_rot = to_int_mat(jnp.asarray(pose))
-            up = transform_point_fixed(
-                jnp.asarray([0, 0, MATRIX_RESOLUTION], jnp.int32),
-                int_rot.at[:3, 3].set(0))
-            self.state = tsdf_update(
-                self.state, pts, mask, scanner_pos, up,
-                size=self.local_map.size, tau=m.tau,
-                max_weight=m.max_weight_scaled, resolution=m.resolution,
-                max_steps=self.max_steps, max_isteps=self.max_isteps,
-                channels=self.params.lidar.channels,
-                vfov_deg=self.params.lidar.vfov)
+        self.state = fuse_cloud(
+            self.state, pts, mask, pose, params=self.params,
+            size=self.local_map.size, fusion=self.fusion,
+            max_steps=self.max_steps, max_isteps=self.max_isteps)
         self._fields = None      # map changed: registration fields stale
 
     def _collect_shift(self) -> None:
