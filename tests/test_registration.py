@@ -277,6 +277,38 @@ def test_registration_packed_coarse_to_fine(corner_scene):
     assert int(iters_c) < 40
 
 
+def test_registration_packed_coarse_then_freeze(corner_scene):
+    """coarse_iterations composes with gather_freeze (ADVICE r3: the combo
+    used to silently drop the coarse phase): early LM rounds run on the
+    1-in-4 subsample, then the freezable fine loop recovers the same pose
+    as plain gather_freeze."""
+    from warpsense_tpu.ops.registration import (precompute_fields_packed,
+                                                register_cloud_packed)
+    corner_map, scan = corner_scene
+    rng = np.random.default_rng(47)
+    pts = reg_cloud(scan, rng, 3000)
+    perturbed = pose_from([0.1, 0.5, 1.0], np.deg2rad(1.0), [60, -50, 40])
+
+    state = corner_map.device_state()
+    fields = precompute_fields_packed(state, tau=TAU)
+    mask = jnp.ones((len(pts),), bool)
+    kw = dict(size=corner_map.size, resolution=RESOLUTION, tau=TAU,
+              max_iterations=200, it_weight_gradient=0.1, epsilon=0.0)
+    out_cf, iters_cf, err_cf = register_cloud_packed(
+        fields, state.pos, state.offset, jnp.asarray(pts, jnp.int32), mask,
+        jnp.asarray(perturbed), coarse_iterations=5, gather_freeze=True,
+        **kw)
+    out_f, _, _ = register_cloud_packed(
+        fields, state.pos, state.offset, jnp.asarray(pts, jnp.int32), mask,
+        jnp.asarray(perturbed), gather_freeze=True, **kw)
+    rot_cf, trans_cf = pose_errors(np.asarray(out_cf))
+    rot_f, trans_f = pose_errors(np.asarray(out_f))
+    assert trans_cf < RESOLUTION / 2, f"translation {trans_cf:.1f} mm"
+    assert abs(trans_cf - trans_f) < RESOLUTION / 4
+    assert abs(rot_cf - rot_f) < 0.1
+    assert int(iters_cf) < 40 and np.isfinite(float(err_cf))
+
+
 def test_registration_packed_gather_freeze(corner_scene):
     """gather_freeze (cached-fields sub-voxel refinement) recovers the
     perturbation to the same tolerance as the re-gathering loop."""

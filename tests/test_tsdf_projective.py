@@ -134,3 +134,24 @@ def test_projective_weight_drop_behind_surface():
     # weights behind the surface drop linearly and never exceed the base
     assert (np.abs(w[deep]) < WEIGHT_RESOLUTION).all()
     assert (np.abs(w[deep & (w != 0)]) > 0).all()
+
+
+def test_fusion_config_guards():
+    """check_fusion_config (ADVICE r3): configurations that would break
+    the f32-exact merge division or the banded-atan ring binning raise at
+    the fusion entry instead of silently corrupting the map."""
+    import pytest
+    from warpsense_tpu.ops.tsdf_projective import check_fusion_config
+
+    check_fusion_config(600, 32 * WEIGHT_RESOLUTION, 45.0)   # bench config
+    with pytest.raises(ValueError, match="2\\^24"):
+        # tau 3 m, max_weight 128 * WEIGHT_RESOLUTION = 8192 -> 4.9e7
+        check_fusion_config(3000, 8192, 45.0)
+    with pytest.raises(ValueError, match="vfov"):
+        check_fusion_config(600, 640, 120.0)
+    with pytest.raises(ValueError):
+        tsdf_update_projective(
+            _fresh(), *_scan_points(seed=0), jnp.zeros(3, jnp.int32),
+            jnp.eye(3, dtype=jnp.float32), size=SIZE, tau=TAU,
+            max_weight=1 << 24, resolution=RES,
+            channels=CHANNELS, columns=COLUMNS, vfov_deg=VFOV)

@@ -84,10 +84,17 @@ def _report(est: np.ndarray, truth, times: list[float]) -> dict:
         "scan_ms_avg": round(float(np.mean(steady)) * 1000, 2),
         "scans_per_s": round(1.0 / float(np.mean(steady)), 2),
     }
-    if truth is not None and not any(t is None for t in truth):
-        truth = np.stack(list(truth))
-        out["ate_rmse_m"] = round(ate_rmse(est, truth, align=True), 4)
-        out["ate_rmse_raw_m"] = round(ate_rmse(est, truth, align=False), 4)
+    if truth is not None:
+        # ATE over the frames that HAVE ground truth (timestamp-matched
+        # GT legitimately skips frames outside the tolerance)
+        have = [i for i, t in enumerate(truth) if t is not None]
+        if len(have) >= 3:
+            truth_a = np.stack([truth[i] for i in have])
+            est_a = est[have]
+            out["ate_rmse_m"] = round(ate_rmse(est_a, truth_a, align=True), 4)
+            out["ate_rmse_raw_m"] = round(
+                ate_rmse(est_a, truth_a, align=False), 4)
+            out["ate_frames"] = len(have)
     return out
 
 
@@ -107,6 +114,8 @@ def main(argv=None) -> None:
     ap.add_argument("--imu-topic", default=None)
     ap.add_argument("--tum-gt", default=None,
                     help="TUM ground-truth file for ATE against the bag")
+    ap.add_argument("--gt-tolerance", type=float, default=0.05,
+                    help="max |scan stamp - GT stamp| (s) to associate")
     args = ap.parse_args(argv)
 
     if args.bag:
@@ -116,10 +125,15 @@ def main(argv=None) -> None:
                            channels=args.channels, columns=args.columns)
         frames = list(ds)
         if args.tum_gt:
-            _, gt = read_tum(args.tum_gt)
-            for i, fr in enumerate(frames):
-                if i < len(gt):
-                    fr.ground_truth = gt[i]
+            # associate by NEAREST TIMESTAMP, not list index: GT files are
+            # routinely sampled at a different rate than the cloud topic
+            # and bags drop scans — index pairing silently misaligns every
+            # subsequent pose and corrupts the reported ATE
+            stamps, gt = read_tum(args.tum_gt)
+            for fr in frames:
+                j = int(np.argmin(np.abs(stamps - fr.stamp)))
+                if abs(float(stamps[j]) - fr.stamp) <= args.gt_tolerance:
+                    fr.ground_truth = gt[j]
         dataset = frames
     else:
         dataset = SyntheticDataset(args.frames, channels=args.channels,

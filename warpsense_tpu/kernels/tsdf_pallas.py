@@ -51,7 +51,7 @@ from ..map.local_map import LocalMapState, in_bounds
 from ..ops.tsdf_projective import (_ATAN_COEFFS, _global_coords,
                                    _merge_planes, _projective_math,
                                    atan2_poly, banded_atan,
-                                   build_beam_table)
+                                   build_beam_table, check_fusion_config)
 from ..ops.tsdf_reference import dz_per_distance
 
 _LANES = 128            # ring axis padded to one vreg row of lanes
@@ -253,6 +253,7 @@ def tsdf_update_projective_pallas(
     rotation is traced): the caller must pass the identity rotation;
     otherwise the beam table and the per-voxel az/el bins silently
     disagree."""
+    check_fusion_config(tau, max_weight, vfov_deg)
     assert channels <= _LANES, "ring axis must fit one 128-lane vreg row"
     X, Y, Z = size
     assert Z <= _ZB, "window z extent must fit a single 256-lane block"

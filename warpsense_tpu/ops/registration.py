@@ -434,11 +434,6 @@ def register_cloud_packed(fields: PackedFields, pos: jax.Array,
     stats = make_packed_stats(fields, pos, offset, points, mask, size=size,
                               resolution=resolution, tau=tau, interp=interp)
     stats_coarse = None
-    if gather_freeze:
-        # the freeze path supersedes coarse-to-fine (the split loop would
-        # silently ignore the coarse closure while its force-accept still
-        # fired — see the _lm_loop hand-off logic)
-        coarse_iterations = 0
     if coarse_iterations > 0:
         # 1-in-4 deterministic subsample for the early iterations (the
         # dedup'd cloud has no organized structure for a stride to alias)
@@ -611,9 +606,21 @@ def _lm_loop(stats, pretransform, *, max_iterations, epsilon,
         else:
             (i, acc, accH, accg, acc_err, alpha, trial, prev, cache,
              frozen, _) = carry
-            reuse = frozen | (i == 0)    # init cache was built at trial=p0
-            cache = jax.lax.cond(reuse, lambda t: cache, gather_fn, trial)
-            H, g, e, c = eval_fn(cache, trial)
+            coarse_now = (i < coarse_iterations if stats_coarse is not None
+                          else jnp.bool_(False))
+            # init cache was built at trial=p0; with a coarse phase it is
+            # stale by hand-off, so the first fine iteration re-gathers
+            reuse = frozen | ((i == 0) & (coarse_iterations == 0))
+            cache = jax.lax.cond(reuse | coarse_now, lambda t: cache,
+                                 gather_fn, trial)
+            if stats_coarse is None:
+                H, g, e, c = eval_fn(cache, trial)
+            else:
+                # coarse-then-freeze: subsampled stats for the early LM
+                # rounds, then the split (freezable) fine evaluation
+                H, g, e, c = jax.lax.cond(
+                    coarse_now, stats_coarse,
+                    lambda t: eval_fn(cache, t), trial)
         err = jnp.where(c > 0.0, e / jnp.maximum(c, 1.0), jnp.inf)
 
         # the coarse->fine hand-off re-baselines: the first full-resolution
@@ -621,7 +628,7 @@ def _lm_loop(stats, pretransform, *, max_iterations, epsilon,
         # (coarse and fine error populations differ slightly; comparing
         # across them would spuriously reject/stall)
         improved = err <= acc_err
-        if stats_coarse is not None and split is None:
+        if stats_coarse is not None:
             rebase = i == coarse_iterations
             improved = improved | rebase
             err2 = jnp.where(rebase, err, jnp.minimum(err, acc_err))
@@ -656,8 +663,9 @@ def _lm_loop(stats, pretransform, *, max_iterations, epsilon,
             return i + 1, acc2, H2, g2, err2, alpha2, trial2, prev2, finished
         # freeze once an ACCEPTED sub-half-voxel step proves the cells
         # stable (translation below freeze_step_mm, rotation < 1 mrad;
-        # xi layout: [:3] rotation rad, [3:] translation mm)
-        frozen2 = frozen | (improved
+        # xi layout: [:3] rotation rad, [3:] translation mm); never while
+        # still in the coarse phase (the fine cache isn't live yet)
+        frozen2 = frozen | (improved & (i >= coarse_iterations)
                             & (jnp.sum(xi[3:] * xi[3:])
                                < freeze_step_mm * freeze_step_mm)
                             & (jnp.sum(xi[:3] * xi[:3]) < 1e-6))

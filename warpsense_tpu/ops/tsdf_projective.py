@@ -48,6 +48,30 @@ from ..map.local_map import LocalMapState, in_bounds
 from .tsdf_reference import dz_per_distance
 
 
+def check_fusion_config(tau: int, max_weight: int, vfov_deg: float) -> None:
+    """Static-configuration guard shared by every projective fusion entry
+    (XLA sweep, Pallas kernels, sharded twin).  Both arguments are static
+    (Python ints/floats at trace time), so the check is free.
+
+    * ``2 * tau * max_weight < 2^24``: the f32-exact averaging merge
+      (``_div_trunc_by_pos``) is bit-identical to integer division only
+      while the weighted sum |ev*ew + nv*nw| <= 2*tau*max_weight stays
+      exactly representable in f32.
+    * ``vfov_deg <= 90``: ``banded_atan``'s out-of-band rejection argument
+      (|el| > 45 deg blows up monotonically and is rejected by ring_ok)
+      only covers elevations the +-45-deg band can express.
+    """
+    if 2 * int(tau) * int(max_weight) >= (1 << 24):
+        raise ValueError(
+            f"2*tau*max_weight = {2 * int(tau) * int(max_weight)} >= 2^24: "
+            "the f32-exact TSDF merge division would silently diverge from "
+            "the integer reference (lower map.max_weight or max_distance)")
+    if vfov_deg > 90.0:
+        raise ValueError(
+            f"vfov_deg = {vfov_deg} > 90: the banded-atan ring binning is "
+            "only correct for vertical FOVs up to 90 degrees")
+
+
 # ----------------------------------------------------------- shared angles
 #
 # One polynomial serves BOTH the XLA sweep and the Pallas kernels so they
@@ -162,6 +186,7 @@ def tsdf_update_projective(state: LocalMapState, points: jax.Array,
 
     scanner_pos: (3,) int32 VOXEL coords; rotation: 3x3 f32 sensor->map.
     """
+    check_fusion_config(tau, max_weight, vfov_deg)
     scanner_mm = scanner_pos * resolution + resolution // 2
     # the march drops whole rays whose endpoint falls outside the window
     # grown by tau/2 (ops/tsdf.py point_ok, update_tsdf.cu:69-75) — gate

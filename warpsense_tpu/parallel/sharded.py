@@ -42,6 +42,7 @@ from ..ops.registration import (_SC, _SG, PackedFields, PackedFields2,
                                 packed_plane_from_neighbors)
 from ..ops.tsdf import _SENTINEL, _floor_norm, decode_key, encode_key
 from ..ops.tsdf_projective import (_merge_planes, build_beam_table,
+                                   check_fusion_config,
                                    projective_sweep_coords)
 from ..ops.tsdf_reference import dz_per_distance
 
@@ -472,6 +473,7 @@ def tsdf_update_projective_sharded(
     merge — the HBM roofline term (cu_avg_tsdf_krnl touches every voxel,
     update_tsdf.cu:13-43) — runs per-shard with ZERO communication: each
     shard sweeps its own x-slab of global coordinates."""
+    check_fusion_config(tau, max_weight, vfov_deg)
     X, Y, Z = size
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]

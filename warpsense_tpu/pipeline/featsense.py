@@ -49,19 +49,26 @@ class FeatsenseMapping:
 
     def __init__(self, params: Params, map_path: str | Path | None = None,
                  capacity: int = 32768, max_range_mm: int = 50000,
-                 fusion: str = "raymarch"):
+                 fusion: str = "raymarch", resume: bool = False):
         """``fusion``: "raymarch" (reference-exact march, the parity
         default), "projective" (dense sweep twin) or "auto" (Pallas
         level-grid kernel on TPU, projective elsewhere) — the same
         speed ladder as pipeline/warpsense.py; the featsense back end is
         the SAME TSDF mapping the reference shares between both
-        pipelines (mapping.cpp:39-152)."""
+        pipelines (mapping.cpp:39-152).
+
+        ``resume=True`` reopens an existing map, reloads the window around
+        the last persisted pose, and applies that pose as a world-frame
+        OFFSET to the (freshly restarted) F-LOAM odometry — the same
+        checkpoint/resume capability warpsense has (SURVEY §5.4; the
+        reference truncates unconditionally, hdf5_global_map.cpp:5)."""
         self.params = params
         self.capacity = int(capacity)
         self.fusion = fusion
         m = params.map
         path = Path(map_path) if map_path is not None else m.h5_path()
-        self.global_map = GlobalMap(path, m.tau, m.initial_weight, meta={
+        self.global_map = GlobalMap(path, m.tau, m.initial_weight,
+                                    truncate=not resume, meta={
             "tau": m.tau, "map_resolution": m.resolution,
             "max_weight": m.max_weight_scaled,
             "max_distance": m.max_distance,
@@ -69,6 +76,20 @@ class FeatsenseMapping:
             "map_size_z": m.size_voxels[2],
         })
         self.local_map = LocalMap(m.size_voxels, self.global_map)
+        # world-frame offset applied to every incoming F-LOAM pose: the
+        # restarted odometry begins at identity, so composing offset @
+        # floam maps its relative motion onto the persisted trajectory
+        self.pose_offset = np.eye(4)
+        if resume:
+            poses = self.global_map.read_poses()
+            if len(poses):
+                from ..io.trajectory import _mat_from_quat
+                last = poses[-1]
+                self.pose_offset[:3, :3] = _mat_from_quat(
+                    last[3:7].astype(np.float64))
+                self.pose_offset[:3, 3] = last[:3]          # stored meters
+                self.local_map.load_window(np.floor(
+                    last[:3] * 1000.0 / m.resolution).astype(np.int64))
         self.state = self.local_map.device_state()
         self.max_steps, self.max_isteps = plan_raymarch(
             m.tau, m.resolution, max_range_mm, params.lidar.channels,
@@ -77,7 +98,7 @@ class FeatsenseMapping:
         self.last_pcls: deque = deque()      # enrich queue, world frame (m)
         self.last_gicp_pose = np.eye(4)
         self.last_floam_pose = np.eye(4)
-        self.last_shift_pose = np.eye(4)
+        self.last_shift_pose = self.pose_offset.copy()
         self.initialized = False
         self.gicp_path: list[np.ndarray] = []
 
@@ -130,7 +151,9 @@ class FeatsenseMapping:
         Returns the refined world pose (meters) when the TSDF update ran,
         None when gated away (parity mapping.cpp:78-80).
         """
-        floam_pose = np.asarray(floam_pose, np.float64)
+        # resume offset: identity in a fresh run; after resume it maps the
+        # restarted odometry's relative motion onto the persisted pose
+        floam_pose = self.pose_offset @ np.asarray(floam_pose, np.float64)
         fl = self.params.floam
 
         if not self.initialized:
@@ -182,9 +205,11 @@ class FeatsenseMapping:
             self.last_pcls.pop()
 
         pose_mm = self._to_mm(gicp_pose)
+        # scale=1000: poses persist in METERS, the same convention as the
+        # warpsense pipeline (and what resume reads back)
         self.global_map.write_pose(pose_mm[:3, 3],
                                    _mat_to_quat_np(gicp_pose[:3, :3]),
-                                   scale=1.0)
+                                   scale=1000.0)
         self.gicp_path.append(gicp_pose.copy())
         self._maybe_shift(pose_mm)
         return gicp_pose.copy()
@@ -203,7 +228,8 @@ class FeatsenseApp:
                  feature_params: FeatureParams | None = None,
                  edge_capacity: int = 2048, surf_capacity: int = 4096,
                  cloud_capacity: int = 32768, profile: bool = False,
-                 odom_kwargs: dict | None = None, fusion: str = "raymarch"):
+                 odom_kwargs: dict | None = None, fusion: str = "raymarch",
+                 resume: bool = False):
         self.params = params
         fl = params.floam
         self.feature_params = feature_params or FeatureParams(
@@ -220,7 +246,7 @@ class FeatsenseApp:
         self.odom = OdomEstimation(**kwargs)
         self.mapping = FeatsenseMapping(params, map_path,
                                         capacity=cloud_capacity,
-                                        fusion=fusion)
+                                        fusion=fusion, resume=resume)
         self.floam_path: list[np.ndarray] = []
 
     def process_scan(self, cloud_m: np.ndarray, stamp: float = 0.0

@@ -76,8 +76,8 @@ class WarpsenseApp:
         self.fusion = fusion
         self.exact_fields = exact_fields
         self._fields = None      # cached registration fields (per map epoch)
-        self.last_reg_iters = 0  # GN iterations of the last scan (fast mode)
-        self.last_reg_err = float("nan")
+        self._last_reg_iters = 0  # device array in fast mode (lazy props)
+        self._last_reg_err = float("nan")
         m = params.map
         path = Path(map_path) if map_path is not None else m.h5_path()
         self.global_map = GlobalMap(path, m.tau, m.initial_weight,
@@ -122,6 +122,17 @@ class WarpsenseApp:
             params.lidar.vfov)
         self.eval = RuntimeEvaluator.get_instance()
         self.monitor = monitor
+
+    # ------------------------------------------------------------ telemetry
+    @property
+    def last_reg_iters(self) -> int:
+        """GN iterations of the last scan (fast mode; materialized lazily
+        so the hot path never blocks on the device)."""
+        return int(self._last_reg_iters)
+
+    @property
+    def last_reg_err(self) -> float:
+        return float(self._last_reg_err)
 
     # ------------------------------------------------------------- callbacks
     def imu_callback(self, sample: ImuSample) -> None:
@@ -220,8 +231,12 @@ class WarpsenseApp:
                 epsilon=reg.epsilon,
                 coarse_iterations=reg.coarse_iterations,
                 gather_freeze=reg.gather_freeze)
-            self.last_reg_iters = int(iters)
-            self.last_reg_err = float(err)
+            # kept as DEVICE arrays: int()/float() here would force a
+            # blocking device->host transfer inside every cloud_callback
+            # (~25 ms RTT on the tunneled platform) even when nobody reads
+            # them — the properties below materialize lazily on access
+            self._last_reg_iters = iters
+            self._last_reg_err = err
         else:
             if self._fields is None:
                 # recomputed only when the map changed (TSDF update or
