@@ -1,0 +1,147 @@
+"""ShardedWarpsenseApp e2e: the full multi-chip pipeline application.
+
+VERDICT r3 #1: the sharded layer's proven pieces (projective fusion,
+cached packed fields, adaptive-LM registration, sharded-window shift)
+composed into a scan-driven app whose trajectory on the 8-device mesh
+matches the single-chip production app to collective-ordering noise, and
+which shifts + persists like the reference orchestration
+(src/warpsense/app.cpp:65-117, src/warpsense/tsdf_mapping.cpp:97-136).
+"""
+import numpy as np
+import pytest
+
+from warpsense_tpu.core.config import Params
+from warpsense_tpu.io.synthetic import BoxWorld, render_scan, walk_trajectory
+from warpsense_tpu.parallel.sharded import make_mesh
+from warpsense_tpu.pipeline.warpsense import WarpsenseApp
+from warpsense_tpu.pipeline.warpsense_sharded import ShardedWarpsenseApp
+
+WINDOW = (160, 101, 41)      # x divisible by the 8-device mesh
+CH, COLS = 32, 512
+
+
+def make_params(shift=8.0):
+    return Params.from_dict({
+        "map": {"max_distance": 0.6, "resolution": 128, "max_weight": 10,
+                "size": {"x": 20, "y": 12, "z": 5}, "shift": shift,
+                "update_distance": 0.08},
+        "registration": {"max_iterations": 60, "epsilon": 0.0,
+                         "it_weight_gradient": 0.1, "mode": "fast"},
+        "lidar": {"channels": CH, "hresolution": COLS},
+    })
+
+
+def render_all(poses, seed=0):
+    world = BoxWorld.default()
+    rng = np.random.default_rng(seed)
+    return [render_scan(world, p, channels=CH, columns=COLS,
+                        noise_std=0.002, rng=rng) for p in poses]
+
+
+@pytest.fixture(scope="module")
+def walk_scans():
+    poses = walk_trajectory(8, step_m=0.1)
+    return render_all(poses), poses
+
+
+def test_sharded_app_matches_single_chip(tmp_path, walk_scans):
+    """Same scans through the single-chip production app (level-grid
+    projective fusion twin) and the 8-device mesh app: trajectories agree
+    to numerical (psum-ordering) noise."""
+    scans, truth = walk_scans
+    one = WarpsenseApp(make_params(), map_path=tmp_path / "one.h5",
+                       capacity=8192, fusion="projective-level",
+                       force_odd=False, window_size=WINDOW)
+    mesh = make_mesh(8)
+    many = ShardedWarpsenseApp(make_params(), mesh=mesh,
+                               map_path=tmp_path / "many.h5",
+                               capacity=8192, window_size=WINDOW)
+    for i, scan in enumerate(scans[:6]):
+        p1 = one.cloud_callback(scan, float(i))
+        pN = many.cloud_callback(scan, float(i))
+    one.terminate()
+    many.terminate()
+    t1 = one.trajectory()
+    tN = many.trajectory()
+    assert len(t1) == len(tN) == 6
+    # translations in mm: collective-ordering noise only
+    np.testing.assert_allclose(tN[:, :3, 3], t1[:, :3, 3], atol=5.0)
+    np.testing.assert_allclose(tN[:, :3, :3], t1[:, :3, :3], atol=1e-3)
+    # and both actually tracked the true trajectory (GT relative to the
+    # first frame: the app's world frame starts at the first sensor pose)
+    err = np.linalg.norm(tN[-1, :3, 3] / 1000.0
+                         - (truth[5][:3, 3] - truth[0][:3, 3]))
+    assert err < 0.15, f"mesh app drifted {err:.3f} m"
+
+
+def test_sharded_app_shift_and_persist(tmp_path, walk_scans):
+    """The mesh app shifts its sharded window mid-run (slab IO against the
+    sharded device state) and persists map + poses at terminate."""
+    scans, truth = walk_scans
+    mesh = make_mesh(8)
+    app = ShardedWarpsenseApp(make_params(shift=0.25), mesh=mesh,
+                              map_path=tmp_path / "shift.h5",
+                              capacity=8192, window_size=WINDOW)
+    errs = []
+    for i, (scan, gt) in enumerate(zip(scans, truth)):
+        pose = app.cloud_callback(scan, float(i))
+        errs.append(np.linalg.norm(pose[:3, 3] / 1000.0
+                                   - (gt[:3, 3] - truth[0][:3, 3])))
+    # the 0.7 m walk crossed the 0.25 m gate: the window moved
+    assert np.any(np.asarray(app.state.pos) != 0)
+    assert errs[-1] < 0.15, f"post-shift errors {errs}"
+    app.terminate()
+
+    import h5py
+    with h5py.File(tmp_path / "shift.h5") as f:
+        assert "map" in f and len(f["map"]) > 0
+        assert "poses" in f and len(f["poses"]) == len(scans)
+
+    # resume re-places the window on the mesh and continues
+    app2 = ShardedWarpsenseApp(make_params(shift=0.25), mesh=mesh,
+                               map_path=tmp_path / "shift.h5",
+                               capacity=8192, window_size=WINDOW,
+                               resume=True)
+    assert app2.initialized
+    assert int((np.asarray(app2.state.weight) != 0).sum()) > 1000
+    app2.terminate()
+
+
+def test_sharded_app_fields_cached_across_scans(tmp_path, walk_scans):
+    """The sharded registration fields are computed once per map epoch and
+    reused until fusion/shift invalidates them (the single-chip
+    amortization, pipeline/warpsense.py; VERDICT r3 'what's weak' #1)."""
+    scans, _ = walk_scans
+    mesh = make_mesh(8)
+    app = ShardedWarpsenseApp(make_params(), mesh=mesh,
+                              map_path=tmp_path / "cache.h5",
+                              capacity=8192, window_size=WINDOW)
+    calls = []
+    import warpsense_tpu.pipeline.warpsense_sharded as ws
+
+    orig = ws.precompute_fields_packed_sharded
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    ws.precompute_fields_packed_sharded = counting
+    try:
+        # scan 0 bootstraps (fuse BEFORE register) -> one precompute
+        app.cloud_callback(scans[0], 0.0)
+        assert len(calls) == 1
+        # gate fusion away: the cache must carry across scans untouched
+        app.params.map.update_distance = 100.0
+        app.cloud_callback(scans[1], 1.0)
+        app.cloud_callback(scans[2], 2.0)
+        assert len(calls) == 1
+        # re-enable fusion: scan 3 registers off the cache THEN fuses at
+        # the refined pose (staling it); scan 4 recomputes exactly once
+        app.params.map.update_distance = 0.0001
+        app.cloud_callback(scans[3], 3.0)
+        assert len(calls) == 1
+        app.cloud_callback(scans[4], 4.0)
+        assert len(calls) == 2
+    finally:
+        ws.precompute_fields_packed_sharded = orig
+    app.terminate()

@@ -34,15 +34,17 @@ def fuse_cloud(state: LocalMapState, pts_mm, mask, pose_mm: np.ndarray, *,
     """One fusion step of a map-frame mm cloud captured at ``pose_mm``.
 
     ``fusion``: "raymarch" (reference-exact march), "projective" (dense
-    sweep twin), "pallas" (level-grid kernel; bins on a map-aligned grid
-    — the identity_rot precondition is satisfied here by construction),
-    or "auto".
+    sweep twin), "projective-level" (dense sweep binning on the LEVEL
+    map-aligned grid — the single-chip twin of the sharded production
+    fusion, parallel/sharded.py), "pallas" (level-grid kernel; bins on a
+    map-aligned grid — the identity_rot precondition is satisfied here by
+    construction), or "auto".
     """
     m = params.map
     scanner_pos = jnp.asarray(
         np.floor(np.asarray(pose_mm)[:3, 3] / m.resolution).astype(np.int32))
     fusion = resolve_fusion(fusion, size=size, channels=params.lidar.channels)
-    if fusion in ("projective", "pallas"):
+    if fusion in ("projective", "projective-level", "pallas"):
         from ..kernels.tsdf_pallas import tsdf_update_projective_pallas
         from ..ops.tsdf_projective import tsdf_update_projective
         update = (tsdf_update_projective_pallas if fusion == "pallas"
@@ -51,9 +53,11 @@ def fuse_cloud(state: LocalMapState, pts_mm, mask, pose_mm: np.ndarray, *,
         # the (already map-frame) scan, not the geometry.  The Pallas
         # kernel's beam-window invariant is exact for a LEVEL grid, so
         # that path always bins map-aligned; the XLA twin keeps the
-        # sensor attitude for reference-exact behavior.
-        grid_rot = (jnp.eye(3, dtype=jnp.float32) if fusion == "pallas"
-                    else jnp.asarray(np.asarray(pose_mm)[:3, :3], jnp.float32))
+        # sensor attitude for reference-exact behavior ("projective") or
+        # matches the level binning on request ("projective-level").
+        grid_rot = (jnp.asarray(np.asarray(pose_mm)[:3, :3], jnp.float32)
+                    if fusion == "projective"
+                    else jnp.eye(3, dtype=jnp.float32))
         extra = {"identity_rot": True} if fusion == "pallas" else {}
         return update(
             state, pts_mm, mask, scanner_pos, grid_rot,

@@ -56,7 +56,8 @@ class WarpsenseApp:
                  capacity: int = 32768, max_range_mm: int = 50000,
                  profile: bool = False, fusion: str = "auto",
                  resume: bool = False, exact_fields: bool = False,
-                 monitor=None):
+                 monitor=None, force_odd: bool = True,
+                 window_size: tuple[int, int, int] | None = None):
         """``fusion``: "auto" (Pallas fusion kernel on TPU, XLA projective
         sweep elsewhere), "pallas" (kernels/tsdf_pallas.py — the TPU
         speed-of-light single-pass kernel), "projective" (dense gather
@@ -69,7 +70,13 @@ class WarpsenseApp:
 
         ``monitor``: optional ``obs.live.LiveMonitor`` receiving per-scan
         poses, map-window snapshots, and shift events while the run is in
-        flight (the reference's RViz streaming role, publish.h:11-93)."""
+        flight (the reference's RViz streaming role, publish.h:11-93).
+
+        ``force_odd``/``window_size``: window-extent control — the
+        reference forces odd extents (hdf5_local_map.cpp:6-20); multi-chip
+        deployments need the x extent divisible by the mesh instead (see
+        pipeline/warpsense_sharded.py and map/local_map.py on the even-
+        extent floor convention)."""
         self.params = params
         self.capacity = int(capacity)
         self.profile = profile
@@ -88,7 +95,8 @@ class WarpsenseApp:
             "map_size_x": m.size_voxels[0], "map_size_y": m.size_voxels[1],
             "map_size_z": m.size_voxels[2],
         })
-        self.local_map = LocalMap(m.size_voxels, self.global_map)
+        self.local_map = LocalMap(window_size or m.size_voxels,
+                                  self.global_map, force_odd=force_odd)
 
         self.pose = np.eye(4, dtype=np.float32)  # mm translation
         self.initialized = False
@@ -103,7 +111,7 @@ class WarpsenseApp:
                 self.local_map.load_window(
                     np.floor(self.pose[:3, 3] / m.resolution).astype(np.int64))
                 self.initialized = True
-        self.state = self.local_map.device_state()
+        self.state = self._place(self.local_map.device_state())
         self.last_tsdf_pose = self.pose.copy()
         self.last_shift_pose = self.pose.copy()
         self.shifted = False
@@ -122,6 +130,13 @@ class WarpsenseApp:
             params.lidar.vfov)
         self.eval = RuntimeEvaluator.get_instance()
         self.monitor = monitor
+
+    # ----------------------------------------------------------- placement
+    def _place(self, state):
+        """Device-placement hook: identity on one chip; the sharded app
+        overrides it to re-place (value, weight) block-sharded over the
+        mesh after construction/shift/resume."""
+        return state
 
     # ------------------------------------------------------------ telemetry
     @property
@@ -215,41 +230,7 @@ class WarpsenseApp:
 
         if prof:
             prof.start("registration")
-        reg = self.params.registration
-        if reg.mode == "fast":
-            # production hot path: packed single-plane fields (1 gather per
-            # GN iteration) + interpolated residuals + early convergence
-            if self._fields is None:
-                self._fields = precompute_fields_packed_auto(
-                    self.state, tau=m.tau, exact=self.exact_fields)
-            transform, iters, err = register_cloud_packed(
-                self._fields, self.state.pos, self.state.offset, pts, mask,
-                jnp.asarray(pretransform),
-                size=self.local_map.size, resolution=m.resolution, tau=m.tau,
-                max_iterations=reg.max_iterations,
-                it_weight_gradient=reg.it_weight_gradient,
-                epsilon=reg.epsilon,
-                coarse_iterations=reg.coarse_iterations,
-                gather_freeze=reg.gather_freeze)
-            # kept as DEVICE arrays: int()/float() here would force a
-            # blocking device->host transfer inside every cloud_callback
-            # (~25 ms RTT on the tunneled platform) even when nobody reads
-            # them — the properties below materialize lazily on access
-            self._last_reg_iters = iters
-            self._last_reg_err = err
-        else:
-            if self._fields is None:
-                # recomputed only when the map changed (TSDF update or
-                # shift) — dense sweep amortized over scans in between
-                self._fields = precompute_fields(self.state)
-            transform = register_cloud_fields(
-                self._fields, self.state.pos, self.state.offset, pts, mask,
-                jnp.asarray(pretransform),
-                size=self.local_map.size, resolution=m.resolution,
-                max_iterations=reg.max_iterations,
-                it_weight_gradient=reg.it_weight_gradient,
-                epsilon=reg.epsilon, mode=reg.mode)
-        transform = np.asarray(transform)
+        transform = self._register(pts, mask, pretransform)
         if prof:
             prof.stop("registration")
 
@@ -299,6 +280,47 @@ class WarpsenseApp:
         return self.pose.copy()
 
     # -------------------------------------------------------------- internals
+    def _register(self, pts, mask, pretransform) -> np.ndarray:
+        """Registration seam (cached fields + GN/LM loop) — returns the
+        refining 4x4 transform as numpy.  The sharded app overrides this
+        with the mesh twins (same closure contract)."""
+        m = self.params.map
+        reg = self.params.registration
+        if reg.mode == "fast":
+            # production hot path: packed single-plane fields (1 gather per
+            # GN iteration) + interpolated residuals + early convergence
+            if self._fields is None:
+                self._fields = precompute_fields_packed_auto(
+                    self.state, tau=m.tau, exact=self.exact_fields)
+            transform, iters, err = register_cloud_packed(
+                self._fields, self.state.pos, self.state.offset, pts, mask,
+                jnp.asarray(pretransform),
+                size=self.local_map.size, resolution=m.resolution, tau=m.tau,
+                max_iterations=reg.max_iterations,
+                it_weight_gradient=reg.it_weight_gradient,
+                epsilon=reg.epsilon,
+                coarse_iterations=reg.coarse_iterations,
+                gather_freeze=reg.gather_freeze)
+            # kept as DEVICE arrays: int()/float() here would force a
+            # blocking device->host transfer inside every cloud_callback
+            # (~25 ms RTT on the tunneled platform) even when nobody reads
+            # them — the properties below materialize lazily on access
+            self._last_reg_iters = iters
+            self._last_reg_err = err
+        else:
+            if self._fields is None:
+                # recomputed only when the map changed (TSDF update or
+                # shift) — dense sweep amortized over scans in between
+                self._fields = precompute_fields(self.state)
+            transform = register_cloud_fields(
+                self._fields, self.state.pos, self.state.offset, pts, mask,
+                jnp.asarray(pretransform),
+                size=self.local_map.size, resolution=m.resolution,
+                max_iterations=reg.max_iterations,
+                it_weight_gradient=reg.it_weight_gradient,
+                epsilon=reg.epsilon, mode=reg.mode)
+        return np.asarray(transform)
+
     def _update_tsdf(self, pts, mask, pose: np.ndarray | None = None) -> None:
         """Fuse a (map-frame) cloud captured at ``pose`` (default: the
         current pose) — the pose fixes the projective ray origin.  Backend
@@ -327,7 +349,7 @@ class WarpsenseApp:
             err, self._shift_error = self._shift_error, None
             self.last_shift_pose = self._pre_shift_pose
             raise RuntimeError("async map shift failed") from err
-        self.state = self.local_map.detach_device()
+        self.state = self._place(self.local_map.detach_device())
         self.shifted = True
         self._fields = None      # window moved: registration fields stale
         pending, self._pending_fusion = self._pending_fusion, []
@@ -374,7 +396,7 @@ class WarpsenseApp:
             return
         self.local_map.absorb(self.state)
         self.local_map.shift(new_pos)
-        self.state = self.local_map.device_state()
+        self.state = self._place(self.local_map.device_state())
         self.shifted = True
         self._fields = None      # window moved: registration fields stale
 

@@ -1,0 +1,142 @@
+"""Multi-chip warpsense: the full pipeline application on a device mesh.
+
+The reference has no distributed layer at all (SURVEY.md §2.7/§5.8 — its
+analogous orchestration is ``App::cloud_callback``,
+src/warpsense/app.cpp:65-117, plus the async shift thread,
+src/warpsense/tsdf_mapping.cpp:97-136, on ONE GPU).  This module is that
+orchestration at mesh scale — new capability, TPU-first:
+
+* the TSDF window (value, weight) is x-block-sharded across a 1-D
+  ``Mesh('x')``; ``pos``/``offset`` replicated (parallel/sharded.py);
+* per scan: preprocess -> (gated) sharded projective fusion (zero
+  communication — each shard sweeps its own slab) -> CACHED sharded
+  packed-fields precompute (two boundary planes ride ICI via ppermute)
+  -> sharded adaptive-LM registration (27 GN scalars psum'd, solve
+  replicated) — the identical production algorithms the single-chip fast
+  pipeline runs, so an N-device trajectory matches the 1-chip trajectory
+  to collective-ordering noise (pinned in tests/test_sharded_app.py);
+* the registration fields are cached ACROSS scans and invalidated only on
+  fusion or shift — the same amortization as the single-chip app
+  (pipeline/warpsense.py); the round-3 bare step function re-paid the
+  precompute every scan;
+* window shift runs through ``LocalMap.attach_device`` against the
+  sharded state: only the evicted/loaded slabs move between devices and
+  the host HDF5 store (O(slab); parity pinned in
+  tests/test_sharded_shift.py), then the state is re-placed on the mesh;
+* persistence, resume, IMU pretransform, monitor hooks, and profiling are
+  inherited unchanged from ``WarpsenseApp`` — the orchestration IS the
+  single-chip orchestration with the device seams overridden.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Params
+from ..map.local_map import make_odd
+from ..parallel.sharded import (make_mesh, precompute_fields_packed_sharded,
+                                register_cloud_packed_sharded, shard_state,
+                                tsdf_update_projective_sharded)
+from .warpsense import WarpsenseApp
+
+
+class ShardedWarpsenseApp(WarpsenseApp):
+    """Warpsense on an N-device mesh — same callbacks, same behavior.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` (default: all devices).  The
+    window's x extent is rounded UP to a multiple of the mesh size (even
+    extents use the floor-span convention, map/local_map.py); y/z are
+    forced odd like the reference.  Requires ``registration.mode ==
+    "fast"`` — the mesh layer implements the production generation.
+    """
+
+    def __init__(self, params: Params, mesh=None,
+                 map_path: str | Path | None = None,
+                 window_size: tuple[int, int, int] | None = None, **kwargs):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._axis = self.mesh.axis_names[0]
+        n = self.mesh.shape[self._axis]
+        if params.registration.mode != "fast":
+            raise ValueError(
+                "ShardedWarpsenseApp runs the production (fast) generation;"
+                f" got registration.mode={params.registration.mode!r}")
+        if window_size is None:
+            sv = params.map.size_voxels
+            window_size = (-(-sv[0] // n) * n, make_odd(sv[1]),
+                           make_odd(sv[2]))
+        if window_size[0] % n:
+            raise ValueError(
+                f"window x extent {window_size[0]} must divide the "
+                f"{n}-device mesh")
+        super().__init__(params, map_path=map_path, force_odd=False,
+                         window_size=window_size, **kwargs)
+
+    # ----------------------------------------------------------- device seams
+    def _place(self, state):
+        """(value, weight) x-block-sharded over the mesh, pos/offset
+        replicated — called at construction, resume, and after shifts."""
+        return shard_state(state, self.mesh)
+
+    def _register(self, pts, mask, pretransform) -> np.ndarray:
+        m = self.params.map
+        reg = self.params.registration
+        if self._fields is None:
+            self._fields = precompute_fields_packed_sharded(
+                self.state, mesh=self.mesh, tau=m.tau,
+                exact=self.exact_fields)
+        transform, iters, err = register_cloud_packed_sharded(
+            self._fields, self.state.pos, self.state.offset, pts, mask,
+            jnp.asarray(pretransform), mesh=self.mesh,
+            size=self.local_map.size, resolution=m.resolution, tau=m.tau,
+            max_iterations=reg.max_iterations, epsilon=reg.epsilon,
+            gather_freeze=reg.gather_freeze)
+        self._last_reg_iters = iters
+        self._last_reg_err = err
+        return np.asarray(transform)
+
+    def _update_tsdf(self, pts, mask, pose: np.ndarray | None = None) -> None:
+        """Sharded projective fusion on the LEVEL map-aligned beam grid —
+        the production binning (single-chip twin: fusion_backend's
+        "pallas"/"projective-level" modes)."""
+        m = self.params.map
+        if pose is None:
+            pose = self.pose
+        scanner_pos = jnp.asarray(
+            np.floor(np.asarray(pose)[:3, 3] / m.resolution)
+            .astype(np.int32))
+        self.state = tsdf_update_projective_sharded(
+            self.state, pts, mask, scanner_pos,
+            jnp.eye(3, dtype=jnp.float32), mesh=self.mesh,
+            size=self.local_map.size, tau=m.tau,
+            max_weight=m.max_weight_scaled, resolution=m.resolution,
+            channels=self.params.lidar.channels,
+            columns=self.params.lidar.hresolution,
+            vfov_deg=self.params.lidar.vfov)
+        self._fields = None      # map changed: registration fields stale
+
+    def _maybe_shift(self) -> None:
+        """Synchronous sharded shift: slab IO runs against the SHARDED
+        device arrays through attach_device (only the evicted/loaded slabs
+        cross the device/host boundary; parity tests/test_sharded_shift.py),
+        then the window is re-placed on the mesh.
+
+        Synchronous by design (vs the single-chip async worker): the
+        sharded slab gather/scatter dispatches collective-free device work
+        per shard and the whole swap costs O(slab); overlapping it with
+        registration would require a second buffered window per device."""
+        m = self.params.map
+        dist = np.linalg.norm(
+            (self.last_shift_pose[:3, 3] - self.pose[:3, 3]) / 1000.0)
+        if dist < m.shift:
+            return
+        self.last_shift_pose = self.pose.copy()
+        new_pos = np.floor(self.pose[:3, 3] / m.resolution).astype(np.int64)
+        if self.monitor is not None:
+            self.monitor.publish_shift(new_pos)
+        self.local_map.attach_device(self.state)
+        self.local_map.shift(new_pos)
+        self.state = self._place(self.local_map.detach_device())
+        self.shifted = True
+        self._fields = None      # window moved: registration fields stale
