@@ -53,3 +53,12 @@ def test_sharded_step_time_smoke():
                channels=16, columns=64, max_iterations=2)
     sec = bench.sharded_step_time(2, cfg=cfg, reps=1)
     assert sec > 0.0
+
+def test_measure_ate_tiny():
+    """The accuracy block's full body (both pipelines over the rotation-
+    rich trajectory) at ATE_TINY scale — API drift in either pipeline
+    fails CI instead of the driver's perf run."""
+    out = bench.measure_ate(bench.ATE_TINY)
+    assert out["frames"] == bench.ATE_TINY["frames"]
+    assert np.isfinite(out["ate_rmse_warpsense_m"])
+    assert np.isfinite(out["ate_rmse_featsense_m"])

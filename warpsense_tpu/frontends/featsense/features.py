@@ -8,10 +8,13 @@ TPU-first re-design of the F-LOAM organized-cloud feature stage
   (the reference runs serial per-row loops);
 * per-(row, block) feature selection — take up to 20 highest-curvature
   edge and 20 lowest-curvature surf points with +-5-column greedy
-  suppression — is a rank-ordered ``lax.fori_loop``: one step per
-  curvature rank, vectorized across all H*6 blocks at once.  Blocks are
-  independent (see features_reference.py for the spec, which both twins
-  implement);
+  suppression — runs ONE ACCEPTANCE PER ROUND per block: every round,
+  each of the H*6 blocks picks its best still-unsuppressed candidate
+  simultaneously (argmax over the block), so the loop is bounded by the
+  20-feature BUDGET instead of the ~W/6 curvature ranks (suppression is
+  block-local, making the round-parallel greedy EXACTLY the sequential
+  greedy per block — pinned against the numpy twin).  This replaced a
+  rank-ordered loop of up to BLK iterations: 8.3 -> ~1 ms/scan on v5e;
 * outputs are fixed-capacity, valid-first compacted point arrays — the
   static-shape contract every downstream op (odometry association, VGICP)
   relies on.
@@ -116,84 +119,58 @@ def extract_features(cloud: jax.Array, *, params: FeatureParams = FeatureParams(
     bcurv = curv[:, cols_c]                                        # (H, nb, BLK)
     bvalid = in_block[None] & jnp.isfinite(bcurv)
 
-    # two rank orders (positions within block): padded entries sort last
-    asc_key = jnp.where(bvalid, bcurv, jnp.inf)
-    desc_key = jnp.where(bvalid, -bcurv, jnp.inf)
-    order_asc = jnp.argsort(asc_key, axis=-1, stable=True)         # (H, nb, BLK)
-    order_desc = jnp.argsort(desc_key, axis=-1, stable=True)
-
     # block-local suppression state, seeded from the occlusion mask
     loc_cols = sps[:, None] - 5 + jnp.arange(LOC)[None, :]         # (nb, LOC)
     blocked0 = picked[:, jnp.clip(loc_cols, 0, W - 1)]             # (H, nb, LOC)
 
     loc_iota = jnp.arange(LOC)[None, None, :]                      # (1,1,LOC)
+    blk_iota = jnp.arange(BLK)[None, None, :]                      # (1,1,BLK)
 
-    def make_pass(order, accept_fn, mark_lo, mark_hi, budget):
-        """One greedy selection pass; returns (blocked, counts, sel).
-
-        Hot-loop discipline (the two passes are the front end's dominant
-        cost): candidate curvature/validity are pre-gathered in rank
-        order OUTSIDE the loop (per-iteration work is then one dynamic
-        slice + ONE data-dependent gather into `blocked`); acceptance is
-        recorded BY RANK — a cheap (H, nb, 1) dynamic-slice write — and
-        mapped back to block positions once after the loop; suppression
-        is a broadcast range compare (an XLA scatter here serializes per
-        element on TPU: measured ~45 ms/scan before this shape).
-        """
-        c_sorted = jnp.take_along_axis(bcurv, order, axis=-1)      # (H,nb,BLK)
-        v_sorted = jnp.take_along_axis(bvalid, order, axis=-1)
-        cand = v_sorted & accept_fn(c_sorted)                      # static gate
-        # cand is prefix-true along the rank axis (the sort key makes the
-        # threshold gate monotone; invalid entries sort last) — so the
-        # rank loop can stop at the last rank with any candidate left, or
-        # when every block's budget is spent (exact early exit)
-        alive = jnp.any(cand, axis=(0, 1))                         # (BLK,)
+    def run_pass(blocked, cand, keyvals, mark_lo, mark_hi, budget):
+        """One greedy selection pass: EVERY round, each block accepts its
+        best (max ``keyvals``) still-available candidate and suppresses
+        the mark range around it — one acceptance per block per round, so
+        the loop runs at most ``budget`` rounds (vs the previous
+        rank-ordered loop's up-to-BLK trips; the per-trip cost is the
+        dominant front-end term).  Because suppression never crosses block
+        boundaries (blocked is per-(H, nb)), the round-parallel greedy is
+        EXACTLY the per-block sequential greedy: within a block, the j-th
+        round's argmax is the j-th greedy selection (ties resolve to the
+        lowest position, matching the stable rank order).  All per-round
+        ops are broadcast compares + reductions — no gathers, no scatters
+        (an XLA scatter here serializes per element on TPU: measured
+        ~45 ms/scan in round 2)."""
+        span = mark_hi - mark_lo
 
         def cond(carry):
-            r, _, count, _ = carry
-            return (r < BLK) & alive[jnp.minimum(r, BLK - 1)] \
-                & ~jnp.all(count >= budget)
+            r, _, _, alive = carry
+            return (r < budget) & alive
 
         def body(carry):
-            r, blocked, count, sel_rank = carry
-            pos = jax.lax.dynamic_index_in_dim(order, r, axis=-1,
-                                               keepdims=False)     # (H, nb)
-            ok0 = jax.lax.dynamic_index_in_dim(cand, r, axis=-1,
-                                               keepdims=False)
-            # hit = blocked[pos + 5], via compare + reduce: a row gather
-            # here serializes per element (~20 us/iteration measured)
-            at_pos = loc_iota == pos[..., None] + 5                # (H,nb,LOC)
-            hit = jnp.any(blocked & at_pos, axis=-1)
-            accept = ok0 & ~hit & (count < budget)
-            sel_rank = jax.lax.dynamic_update_index_in_dim(
-                sel_rank, accept, r, axis=-1)
+            r, blocked, sel, _ = carry
+            avail = cand & ~blocked[..., 5:5 + BLK]                # static slice
+            key = jnp.where(avail, keyvals, -jnp.inf)
+            best = jnp.max(key, axis=-1)                           # (H, nb)
+            pos = jnp.argmax(key, axis=-1)
+            accept = jnp.isfinite(best)
+            at_pos = blk_iota == pos[..., None]
+            sel = sel | (accept[..., None] & at_pos)
             lo = pos[..., None] + (5 + mark_lo)                    # (H,nb,1)
-            mark = (loc_iota >= lo) & (loc_iota < lo + (mark_hi - mark_lo))
+            mark = (loc_iota >= lo) & (loc_iota < lo + span)
             blocked = blocked | (accept[..., None] & mark)
-            return r + 1, blocked, count + accept, sel_rank
+            return r + 1, blocked, sel, jnp.any(accept)
 
-        def rank_to_pos(sel_rank):
-            # invert the rank permutation: position p was rank inv[p]
-            inv = jnp.argsort(order, axis=-1)
-            return jnp.take_along_axis(sel_rank, inv, axis=-1)
+        init = (jnp.int32(0), blocked, jnp.zeros((H, nb, BLK), bool),
+                jnp.bool_(True))
+        _, blocked, sel, _ = jax.lax.while_loop(cond, body, init)
+        return blocked, sel
 
-        return cond, body, rank_to_pos
-
-    count0 = jnp.zeros((H, nb), jnp.int32)
-    sel0 = jnp.zeros((H, nb, BLK), bool)
-
-    edge_cond, edge_body, edge_map = make_pass(
-        order_desc, lambda c: c >= params.edge_threshold,
-        -5, 5, params.max_edge_per_block)
-    _, blocked, _, edge_sel_rank = jax.lax.while_loop(
-        edge_cond, edge_body, (jnp.int32(0), blocked0, count0, sel0))
-    edge_sel = edge_map(edge_sel_rank)
-    surf_cond, surf_body, surf_map = make_pass(
-        order_asc, lambda c: c <= params.surf_threshold,
-        -5, 6, params.max_surf_per_block)
-    _, _, _, surf_sel_rank = jax.lax.while_loop(
-        surf_cond, surf_body, (jnp.int32(0), blocked, count0, sel0))
-    surf_sel = surf_map(surf_sel_rank)
+    edge_cand = bvalid & (bcurv >= params.edge_threshold)
+    blocked, edge_sel = run_pass(blocked0, edge_cand, bcurv,
+                                 -5, 5, params.max_edge_per_block)
+    surf_cand = bvalid & (bcurv <= params.surf_threshold)
+    _, surf_sel = run_pass(blocked, surf_cand, -bcurv,
+                           -5, 6, params.max_surf_per_block)
 
     flat_idx = (jnp.arange(H)[:, None, None] * W + cols_c[None]).reshape(-1)
     pts = cloud.reshape(-1, 3)[flat_idx]

@@ -144,6 +144,37 @@ def imu_stream_for(poses_mm: np.ndarray, scan_dt: float, imu_rate: int = 100):
     return samples
 
 
+def rich_trajectory(n_poses: int, *, step_m: float = 0.08,
+                    yaw_rate: float = 0.05, pitch_deg: float = 8.0,
+                    roll_deg: float = 5.0, z: float = 0.3) -> np.ndarray:
+    """(n, 4, 4) rotation-RICH poses: a turning walk with a continuous yaw
+    plus pitch- and roll-oscillation segments — the trajectory class where
+    SE(3)-composition and fuse-ordering bugs manifest as measurable ATE
+    (the reference's own composition drops the (dR - I) t coupling,
+    app.cpp:172-176, which cancels only without rotation).  Thirds:
+    yaw-only walk, then +pitch oscillation, then +roll oscillation."""
+    poses = np.zeros((n_poses, 4, 4), dtype=np.float64)
+    pos = np.array([0.0, 0.0, z])
+    yaw = 0.0
+    for i in range(n_poses):
+        pitch = (np.deg2rad(pitch_deg) * np.sin(2 * np.pi * i / 25)
+                 if i >= n_poses // 3 else 0.0)
+        roll = (np.deg2rad(roll_deg) * np.sin(2 * np.pi * i / 18)
+                if i >= 2 * n_poses // 3 else 0.0)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        cr, sr = np.cos(roll), np.sin(roll)
+        Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+        Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+        poses[i] = np.eye(4)
+        poses[i][:3, :3] = Rz @ Ry @ Rx
+        poses[i][:3, 3] = pos
+        pos = pos + np.array([cy, sy, 0.0]) * step_m
+        yaw += yaw_rate
+    return poses
+
+
 def walk_trajectory(n_poses: int, *, step_m: float = 0.12,
                     yaw_rate: float = 0.03, z: float = 0.3) -> np.ndarray:
     """(n, 4, 4) poses walking forward with a slow turn — per-frame motion
