@@ -1,6 +1,14 @@
-"""Multi-host entry helpers, exercised in their single-process degenerate
-form on the 8-device virtual CPU mesh (a real 2-host run only changes
-process counts; the mesh/global-array construction code is identical)."""
+"""Multi-host entry helpers: single-process degenerate form on the
+8-device virtual CPU mesh, PLUS a real 2-process ``jax.distributed`` run
+(coordinator on localhost, Gloo CPU collectives) pinning the multi-host
+code path itself — shard_state_global/host_slab_bounds/gather_state with
+``process_count() == 2`` (VERDICT r3 #5; new capability, the reference is
+single-node, SURVEY §5.8)."""
+import json
+import socket
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,3 +59,70 @@ def test_global_state_runs_sharded_fusion():
         mesh=mesh, size=SIZE, tau=600, max_weight=32 * WEIGHT_RESOLUTION,
         resolution=64, channels=16, columns=64, vfov_deg=45.0)
     assert int(jnp.sum(out.weight != 0)) > 0
+
+
+def test_two_process_distributed_matches_single(tmp_path):
+    """Two REAL processes (jax.distributed over localhost, 2 CPU devices
+    each -> a 4-device global mesh): one sharded fusion + registration
+    step must produce the same state and pose as the same step in this
+    (single-process) test runtime."""
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    out_npz = tmp_path / "p0.npz"
+    cmd = [sys.executable, "-m", "warpsense_tpu.parallel.distributed",
+           "--coordinator", f"127.0.0.1:{port}", "--num-processes", "2",
+           "--cpu", "2", "--out", str(out_npz)]
+    procs = [subprocess.Popen(cmd + ["--process-id", str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # both processes saw the 2-process / 4-device world and split the slab
+    for o in outs:
+        assert o["processes"] == 2 and o["devices"] == 4
+    slabs = sorted(tuple(o["slab"]) for o in outs)
+    assert slabs == [(0, 40), (40, 80)]
+    # the psum'd registration is replicated: identical pose + checksums
+    assert outs[0]["pose"] == outs[1]["pose"]
+    assert outs[0]["value_sum"] == outs[1]["value_sum"]
+    assert outs[0]["weight_nonzero"] == outs[1]["weight_nonzero"] > 0
+
+    # equals the single-process result (this runtime's 8-device mesh is
+    # a different shard count — shard invariance is part of the claim)
+    from warpsense_tpu.core.consts import WEIGHT_RESOLUTION
+    from warpsense_tpu.map.local_map import create_state
+    from warpsense_tpu.parallel.distributed import _demo_cloud
+    from warpsense_tpu.parallel.sharded import (
+        make_mesh, precompute_fields_packed_sharded,
+        register_cloud_packed_sharded, shard_state,
+        tsdf_update_projective_sharded)
+
+    mesh = make_mesh(8)
+    st = shard_state(create_state(SIZE, 600, 0, force_odd=False), mesh)
+    pts = jnp.asarray(_demo_cloud(3000, half=1100, zhalf=350))
+    mask = jnp.ones((pts.shape[0],), bool)
+    st = tsdf_update_projective_sharded(
+        st, pts, mask, jnp.zeros(3, jnp.int32),
+        jnp.eye(3, dtype=jnp.float32), mesh=mesh, size=SIZE, tau=600,
+        max_weight=32 * WEIGHT_RESOLUTION, resolution=64, channels=32,
+        columns=128, vfov_deg=45.0)
+    fields = precompute_fields_packed_sharded(st, mesh=mesh, tau=600)
+    pert = np.eye(4, dtype=np.float32)
+    pert[:3, 3] = [90, -60, 40]
+    pose, _, _ = register_cloud_packed_sharded(
+        fields, st.pos, st.offset, pts, mask, jnp.asarray(pert), mesh=mesh,
+        size=SIZE, resolution=64, tau=600, max_iterations=30, epsilon=0.03,
+        gather_freeze=True)
+
+    saved = np.load(out_npz)
+    np.testing.assert_array_equal(saved["value"], np.asarray(st.value))
+    np.testing.assert_array_equal(saved["weight"], np.asarray(st.weight))
+    np.testing.assert_allclose(saved["pose"], np.asarray(pose),
+                               rtol=1e-5, atol=2e-3)

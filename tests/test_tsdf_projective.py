@@ -155,3 +155,93 @@ def test_fusion_config_guards():
             jnp.eye(3, dtype=jnp.float32), size=SIZE, tau=TAU,
             max_weight=1 << 24, resolution=RES,
             channels=CHANNELS, columns=COLUMNS, vfov_deg=VFOV)
+
+
+def _pitched_scene(pitch_deg, seed=5):
+    """Map-frame mm points of a scan captured at a pitched sensor pose."""
+    t = np.radians(pitch_deg)
+    pose = np.eye(4)
+    pose[:3, :3] = np.array([[np.cos(t), 0, np.sin(t)], [0, 1, 0],
+                             [-np.sin(t), 0, np.cos(t)]])
+    rng = np.random.default_rng(seed)
+    scan = render_scan(BoxWorld.default(), pose, channels=CHANNELS,
+                       columns=COLUMNS, vfov_deg=VFOV, noise_std=0.002,
+                       rng=rng).reshape(-1, 3)
+    valid = np.any(scan != 0.0, axis=1)
+    world = scan @ pose[:3, :3].T + pose[:3, 3]
+    pts, mask = preprocess_host(np.where(valid[:, None], world, 0.0),
+                                resolution=RES, capacity=16384)
+    return (jnp.asarray(pts), jnp.asarray(mask),
+            jnp.asarray(pose[:3, :3], jnp.float32))
+
+
+def test_level_grid_tilt_envelope():
+    """Quantify the LEVEL-grid production path's attitude envelope
+    (VERDICT r3 #6): under sensor pitch, the level map-aligned binning
+    drops returns whose map-frame elevation leaves the ring band, while
+    the attitude-aware grid keeps them.  Inside the vfov/8 budget the
+    written-voxel deficit stays in the low single digits; beyond it the
+    deficit grows — which is why fusion dispatch falls back (see
+    fusion_backend.level_tilt_budget_deg)."""
+    from warpsense_tpu.pipeline.fusion_backend import level_tilt_budget_deg
+
+    budget = level_tilt_budget_deg(VFOV)        # 2 deg (measured)
+    deficits = {}
+    for pitch in (0.0, budget, 5.625, 11.25):
+        pts, mask, R = _pitched_scene(pitch)
+        level = tsdf_update_projective(
+            _fresh(), pts, mask, jnp.zeros(3, jnp.int32),
+            jnp.eye(3, dtype=jnp.float32), size=SIZE, tau=TAU,
+            max_weight=32 * WEIGHT_RESOLUTION, resolution=RES,
+            channels=CHANNELS, columns=COLUMNS, vfov_deg=VFOV)
+        attitude = tsdf_update_projective(
+            _fresh(), pts, mask, jnp.zeros(3, jnp.int32), R, size=SIZE,
+            tau=TAU, max_weight=32 * WEIGHT_RESOLUTION, resolution=RES,
+            channels=CHANNELS, columns=COLUMNS, vfov_deg=VFOV)
+        n_level = int(np.count_nonzero(np.asarray(level.weight)))
+        n_att = int(np.count_nonzero(np.asarray(attitude.weight)))
+        deficits[pitch] = 1.0 - n_level / max(n_att, 1)
+    assert abs(deficits[0.0]) < 1e-6            # level == attitude level
+    assert deficits[budget] < 0.12, deficits    # inside the budget
+    assert deficits[11.25] > deficits[5.625] > deficits[budget]
+    assert deficits[11.25] > 0.25, deficits     # why dispatch falls back
+
+
+def test_fusion_dispatch_attitude_fallback(tmp_path):
+    """fuse_cloud automatically switches from the level grid to the
+    attitude-aware grid beyond the tilt budget (VERDICT r3 #6)."""
+    from warpsense_tpu.core.config import Params
+    from warpsense_tpu.pipeline.fusion_backend import (fuse_cloud,
+                                                       grid_rotation_for,
+                                                       sensor_tilt_deg)
+
+    def pitched_pose_mm(deg):
+        t = np.radians(deg)
+        p = np.eye(4, dtype=np.float32)
+        p[:3, :3] = np.array([[np.cos(t), 0, np.sin(t)], [0, 1, 0],
+                              [-np.sin(t), 0, np.cos(t)]], np.float32)
+        return p
+
+    assert sensor_tilt_deg(pitched_pose_mm(12.0)) == pytest.approx(12.0)
+    _, level = grid_rotation_for(pitched_pose_mm(1.5), VFOV)
+    assert level
+    rot, level = grid_rotation_for(pitched_pose_mm(12.0), VFOV)
+    assert not level
+    np.testing.assert_allclose(np.asarray(rot),
+                               pitched_pose_mm(12.0)[:3, :3], atol=1e-6)
+
+    params = Params.from_dict({
+        "map": {"max_distance": 0.6, "resolution": RES, "max_weight": 32},
+        "lidar": {"channels": CHANNELS, "hresolution": COLUMNS},
+    })
+    pts, mask, R = _pitched_scene(12.0)
+    pose = pitched_pose_mm(12.0)
+    out = fuse_cloud(_fresh(), pts, mask, pose, params=params, size=SIZE,
+                     fusion="projective-level")
+    expect = tsdf_update_projective(
+        _fresh(), pts, mask, jnp.zeros(3, jnp.int32),
+        jnp.asarray(pose[:3, :3]), size=SIZE, tau=TAU,
+        max_weight=32 * WEIGHT_RESOLUTION, resolution=RES,
+        channels=CHANNELS, columns=COLUMNS, vfov_deg=VFOV)
+    np.testing.assert_array_equal(np.asarray(out.value),
+                                  np.asarray(expect.value))

@@ -48,7 +48,10 @@ from .tsdf_reference import dz_per_distance
 # ----------------------------------------------------------------- order keys
 # key = neg_flag<<23 | |value|<<8 | sign(value)<<7 | |weight|
 # lexicographic min == combine lattice; SENTINEL means "never written".
-_SENTINEL = jnp.int32(2 ** 30)
+# Plain Python int: a jnp scalar here would create a device array at
+# IMPORT time and initialize the backend before the application can
+# configure jax (platform choice, device counts, jax.distributed).
+_SENTINEL = 2 ** 30
 
 
 def encode_key(value: jax.Array, weight: jax.Array) -> jax.Array:

@@ -99,3 +99,98 @@ def gather_state(state: LocalMapState) -> LocalMapState:
             x = multihost_utils.process_allgather(x, tiled=True)
         return np.asarray(x)
     return LocalMapState(*(np_of(x) for x in state))
+
+
+# ------------------------------------------------------------ runnable entry
+
+def _demo_cloud(n: int, half: int, zhalf: int, seed: int = 7) -> np.ndarray:
+    """Deterministic box-room cloud (int32 mm) — identical in every
+    process, so the sharded step's inputs are process-invariant."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    for ax in range(3):
+        for s in (-1, 1):
+            p = np.stack([rng.uniform(-half, half, n // 6),
+                          rng.uniform(-half, half, n // 6),
+                          rng.uniform(-zhalf, zhalf, n // 6)], axis=1)
+            p[:, ax] = s * (zhalf if ax == 2 else half)
+            pts.append(p)
+    return np.round(np.concatenate(pts)).astype(np.int32)
+
+
+def main(argv=None) -> None:
+    """Multi-host demo/validation step: bring up ``jax.distributed``,
+    build the global mesh, run ONE sharded fusion + packed registration
+    step on a deterministic synthetic cloud, and print a JSON line with
+    this host's slab bounds, the registered pose, and state checksums
+    (identical across processes and equal to the single-process result —
+    asserted by tests/test_distributed.py with 2 real CPU processes).
+
+        python -m warpsense_tpu.parallel.distributed \
+            --coordinator host0:9999 --num-processes 2 --process-id 0
+    """
+    import argparse
+    import json
+
+    from ..core.consts import WEIGHT_RESOLUTION
+    from ..map.local_map import create_state
+    from .sharded import (precompute_fields_packed_sharded,
+                          register_cloud_packed_sharded,
+                          tsdf_update_projective_sharded)
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="force the CPU backend with N local devices "
+                         "(testing; TPU hosts auto-detect their chips)")
+    ap.add_argument("--size", type=int, nargs=3, default=[80, 41, 41])
+    ap.add_argument("--out", default=None,
+                    help="process 0 writes value/weight/pose here (.npz)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    mesh = global_mesh()
+    size = tuple(args.size)
+    TAU, RES = 600, 64
+
+    state = shard_state_global(
+        create_state(size, TAU, 0, force_odd=False), mesh)
+    pts = jnp.asarray(_demo_cloud(3000, half=1100, zhalf=350))
+    mask = jnp.ones((pts.shape[0],), bool)
+    state = tsdf_update_projective_sharded(
+        state, pts, mask, jnp.zeros(3, jnp.int32),
+        jnp.eye(3, dtype=jnp.float32), mesh=mesh, size=size, tau=TAU,
+        max_weight=32 * WEIGHT_RESOLUTION, resolution=RES, channels=32,
+        columns=128, vfov_deg=45.0)
+    fields = precompute_fields_packed_sharded(state, mesh=mesh, tau=TAU)
+    pert = np.eye(4, dtype=np.float32)
+    pert[:3, 3] = [90, -60, 40]
+    pose, iters, err = register_cloud_packed_sharded(
+        fields, state.pos, state.offset, pts, mask, jnp.asarray(pert),
+        mesh=mesh, size=size, resolution=RES, tau=TAU, max_iterations=30,
+        epsilon=0.03, gather_freeze=True)
+
+    x0, x1 = host_slab_bounds(mesh, size)
+    full = gather_state(state)
+    print(json.dumps({
+        "process": jax.process_index(),
+        "processes": jax.process_count(),
+        "devices": len(jax.devices()),
+        "slab": [x0, x1],
+        "pose": np.asarray(pose).tolist(),
+        "iters": int(iters),
+        "weight_nonzero": int((full.weight != 0).sum()),
+        "value_sum": int(np.asarray(full.value, np.int64).sum()),
+    }))
+    if args.out and jax.process_index() == 0:
+        np.savez(args.out, value=full.value, weight=full.weight,
+                 pose=np.asarray(pose))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,48 @@ from ..core.geometry import to_int_mat, transform_point_fixed
 from ..map.local_map import LocalMapState
 
 
+def sensor_tilt_deg(pose_mm: np.ndarray) -> float:
+    """Tilt of the sensor z axis from the map vertical, degrees."""
+    R = np.asarray(pose_mm, np.float64)[:3, :3]
+    return float(np.degrees(np.arccos(np.clip(R[2, 2], -1.0, 1.0))))
+
+
+def level_tilt_budget_deg(vfov_deg: float) -> float:
+    """Tilt envelope of the LEVEL map-aligned beam grid.
+
+    Two loss mechanisms under sensor tilt t (measured coverage-deficit
+    curve vs the attitude-aware grid on the indoor box scene,
+    tests/test_tsdf_projective.py::test_level_grid_tilt_envelope):
+
+    * ring ALIASING — the scan's discrete elevation fan no longer aligns
+      with the level table's ring centers, leaving hole rings: ~6-7%
+      written-voxel deficit at ANY tilt > 0 (exactly 0 at t = 0);
+    * band CLIPPING — returns whose map-frame elevation leaves
+      [-vfov/2, vfov/2] drop entirely: grows with t (measured 18% at
+      5.6 deg, 32% at 11.25 deg, 43% at 22.5 deg).
+
+    2 degrees keeps the deficit around ~10% worst-case-scene (sub-voxel
+    ATE impact, pinned by the rotation-rich accuracy bench) while the
+    fast level kernel serves near-level platforms; beyond it dispatch
+    falls back to the attitude-aware grid (general-rotation Pallas kernel
+    / attitude XLA sweep; the reference's ray-march handles attitude via
+    up-vector interpolation, update_tsdf.cu:49-63)."""
+    del vfov_deg        # measured dominated by aliasing, not band width
+    return 2.0
+
+
+def grid_rotation_for(pose_mm: np.ndarray, vfov_deg: float,
+                      budget_deg: float | None = None):
+    """(rotation 3x3 f32, level: bool) — the beam-grid attitude for a scan
+    captured at ``pose_mm``: identity (level grid, fast kernels) inside
+    the tilt envelope, the true sensor attitude beyond it."""
+    budget = (level_tilt_budget_deg(vfov_deg) if budget_deg is None
+              else budget_deg)
+    if sensor_tilt_deg(pose_mm) <= budget:
+        return jnp.eye(3, dtype=jnp.float32), True
+    return jnp.asarray(np.asarray(pose_mm)[:3, :3], jnp.float32), False
+
+
 def resolve_fusion(fusion: str, *, size, channels: int) -> str:
     """"auto" -> "pallas" on TPU when the level kernel's constraints hold
     (z extent fits one lane block, ring axis fits one vreg row), else
@@ -50,15 +92,21 @@ def fuse_cloud(state: LocalMapState, pts_mm, mask, pose_mm: np.ndarray, *,
         update = (tsdf_update_projective_pallas if fusion == "pallas"
                   else tsdf_update_projective)
         # The beam grid attitude only defines the spherical binning of
-        # the (already map-frame) scan, not the geometry.  The Pallas
-        # kernel's beam-window invariant is exact for a LEVEL grid, so
-        # that path always bins map-aligned; the XLA twin keeps the
-        # sensor attitude for reference-exact behavior ("projective") or
-        # matches the level binning on request ("projective-level").
-        grid_rot = (jnp.asarray(np.asarray(pose_mm)[:3, :3], jnp.float32)
-                    if fusion == "projective"
-                    else jnp.eye(3, dtype=jnp.float32))
-        extra = {"identity_rot": True} if fusion == "pallas" else {}
+        # the (already map-frame) scan, not the geometry.  "projective"
+        # always bins with the sensor attitude (reference-exact);
+        # "pallas"/"projective-level" bin on the LEVEL map-aligned grid
+        # INSIDE the tilt envelope (the fast production configuration) and
+        # automatically fall back to the attitude-aware grid beyond it —
+        # the general-rotation Pallas kernel / attitude XLA sweep — so
+        # sustained pitch/roll never silently drops returns
+        # (level_tilt_budget_deg; reference role: update_tsdf.cu:49-63).
+        if fusion == "projective":
+            grid_rot, level = (
+                jnp.asarray(np.asarray(pose_mm)[:3, :3], jnp.float32), False)
+        else:
+            grid_rot, level = grid_rotation_for(pose_mm,
+                                                params.lidar.vfov)
+        extra = {"identity_rot": level} if fusion == "pallas" else {}
         return update(
             state, pts_mm, mask, scanner_pos, grid_rot,
             size=size, tau=m.tau, max_weight=m.max_weight_scaled,

@@ -97,18 +97,21 @@ class ShardedWarpsenseApp(WarpsenseApp):
         return np.asarray(transform)
 
     def _update_tsdf(self, pts, mask, pose: np.ndarray | None = None) -> None:
-        """Sharded projective fusion on the LEVEL map-aligned beam grid —
-        the production binning (single-chip twin: fusion_backend's
-        "pallas"/"projective-level" modes)."""
+        """Sharded projective fusion — LEVEL map-aligned beam grid inside
+        the tilt envelope (the production binning; single-chip twin:
+        fusion_backend's "pallas"/"projective-level" modes), the true
+        sensor attitude beyond it (fusion_backend.grid_rotation_for)."""
+        from .fusion_backend import grid_rotation_for
         m = self.params.map
         if pose is None:
             pose = self.pose
         scanner_pos = jnp.asarray(
             np.floor(np.asarray(pose)[:3, 3] / m.resolution)
             .astype(np.int32))
+        grid_rot, _ = grid_rotation_for(pose, self.params.lidar.vfov)
         self.state = tsdf_update_projective_sharded(
             self.state, pts, mask, scanner_pos,
-            jnp.eye(3, dtype=jnp.float32), mesh=self.mesh,
+            grid_rot, mesh=self.mesh,
             size=self.local_map.size, tau=m.tau,
             max_weight=m.max_weight_scaled, resolution=m.resolution,
             channels=self.params.lidar.channels,
