@@ -268,6 +268,58 @@ def build_featsense_loops(cfg):
                 features=(e, em, s, sm), k=K)
 
 
+# -------------------------------------------------------------- kernel parity
+
+def kernel_parity(loops, cfg=FULL):
+    """Bit-parity of the Pallas kernels vs their XLA twins AT THE BENCH
+    WINDOW on the attached TPU, recorded in the driver artifact
+    (VERDICT r3 #9): interpret-mode tests pin the kernels' semantics on
+    CPU, but the real Mosaic lowering is what the hardware runs — this
+    catches lowering drift where it matters.  Checks the level fusion
+    kernel (vs the XLA projective sweep) and the packed-fields kernel
+    (vs the XLA roll formulation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from warpsense_tpu.core.consts import WEIGHT_RESOLUTION
+    from warpsense_tpu.map.local_map import LocalMapState
+    from warpsense_tpu.ops.registration import (precompute_fields_packed,
+                                                precompute_fields_packed_auto)
+    from warpsense_tpu.ops.tsdf_projective import tsdf_update_projective
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "no TPU attached (CPU twins are trivially equal)"}
+    from warpsense_tpu.kernels.tsdf_pallas import \
+        tsdf_update_projective_pallas
+
+    SIZE, TAU = cfg["size"], cfg["tau"]
+    kw = dict(size=SIZE, tau=TAU, max_weight=32 * WEIGHT_RESOLUTION,
+              resolution=cfg["res"], channels=cfg["channels"],
+              columns=cfg["columns"], vfov_deg=cfg["vfov_deg"])
+
+    def fresh():
+        return LocalMapState(
+            value=jnp.full(SIZE, TAU, jnp.int16),
+            weight=jnp.zeros(SIZE, jnp.int16),
+            pos=jnp.zeros(3, jnp.int32),
+            offset=jnp.asarray([s // 2 for s in SIZE], jnp.int32))
+
+    eye = jnp.eye(3, dtype=jnp.float32)
+    origin = jnp.zeros(3, jnp.int32)
+    pa = tsdf_update_projective_pallas(fresh(), loops["pts"], loops["mask"],
+                                       origin, eye, identity_rot=True, **kw)
+    xl = tsdf_update_projective(fresh(), loops["pts"], loops["mask"],
+                                origin, eye, **kw)
+    fusion_mism = int(jnp.sum((pa.value != xl.value)
+                              | (pa.weight != xl.weight)))
+    fa = precompute_fields_packed_auto(pa, tau=TAU)     # Pallas on TPU
+    fb = precompute_fields_packed(pa, tau=TAU)          # XLA twin
+    fields_mism = int(jnp.sum(fa.plane != fb.plane))
+    return {"voxels": int(np.prod(SIZE)),
+            "fusion_bit_mismatches": fusion_mism,
+            "fields_bit_mismatches": fields_mism}
+
+
 # ------------------------------------------------------------------ accuracy
 
 # Rotation-rich ATE sequence (VERDICT r3 #2): continuous yaw + pitch +
@@ -543,6 +595,7 @@ def main():
     odom_ms = timed(feat["odom"], e, em, s, sm) * 1e3
     featsense_ms = feat_ms + odom_ms
 
+    parity = kernel_parity(loops)
     scaling = measure_scaling()
     accuracy = _run_worker("--ate-worker", timeout=2400)
 
@@ -560,6 +613,7 @@ def main():
         "vs_baseline": round(scans_per_s / BASELINE_SCANS_PER_S, 3),
         "scaling": scaling,
         "accuracy": accuracy,
+        "kernel_parity": parity,
     }))
 
 

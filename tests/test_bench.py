@@ -62,3 +62,8 @@ def test_measure_ate_tiny():
     assert out["frames"] == bench.ATE_TINY["frames"]
     assert np.isfinite(out["ate_rmse_warpsense_m"])
     assert np.isfinite(out["ate_rmse_featsense_m"])
+
+
+def test_kernel_parity_skips_on_cpu(loops):
+    out = bench.kernel_parity(loops, cfg=bench.TINY)
+    assert "skipped" in out          # CPU run: twins are the same code

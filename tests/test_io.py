@@ -112,3 +112,59 @@ def test_tsdf_viz_export(tmp_path):
     assert any(np.allclose(p, [0.032, 0.032, 0.032], atol=1e-5) for p in pts)
     sk = window_skeleton(state, resolution=64)
     assert sk.shape[1] == 3 and len(sk) == 12 * 32
+
+
+# ------------------------------------------------------------------- lz4
+def _lz4_literal_block(data: bytes) -> bytes:
+    """Craft a valid literals-only LZ4 block (with length extension)."""
+    lit = len(data)
+    if lit < 15:
+        return bytes([lit << 4]) + data
+    out = bytearray([0xF0])
+    rem = lit - 15
+    while rem >= 255:
+        out.append(255)
+        rem -= 255
+    out.append(rem)
+    return bytes(out) + data
+
+
+def _lz4_frame(blocks, uncompressed=False) -> bytes:
+    """Craft a standard LZ4 frame around raw block payloads."""
+    import struct
+    out = bytearray(struct.pack("<I", 0x184D2204))
+    out += bytes([0x60, 0x40, 0x00])          # FLG v1 indep, BD 64K, HC
+    for b in blocks:
+        size = len(b) | (0x80000000 if uncompressed else 0)
+        out += struct.pack("<I", size) + b
+    out += struct.pack("<I", 0)               # EndMark
+    return bytes(out)
+
+
+def test_lz4_block_match_copy():
+    """Hand-computed spec vector: literals + overlapping match + tail."""
+    from warpsense_tpu.io.lz4 import decompress_block
+
+    # token 0x44: 4 literals 'abcd', match offset 4 len 8 (overlapping ->
+    # periodic copy), then a final literals-only sequence 'xyz'
+    src = b"\x44abcd\x04\x00" + b"\x30xyz"
+    dst = bytearray()
+    decompress_block(src, dst)
+    assert bytes(dst) == b"abcdabcdabcd" + b"xyz"
+
+
+def test_lz4_frame_roundtrip_paths():
+    from warpsense_tpu.io.lz4 import decompress
+
+    payload = bytes(range(256)) * 5 + b"tail"
+    # compressed literals-only blocks (exercises length extension)
+    frame = _lz4_frame([_lz4_literal_block(payload[:700]),
+                        _lz4_literal_block(payload[700:])])
+    assert decompress(frame) == payload
+    # uncompressed-block path
+    assert decompress(_lz4_frame([payload], uncompressed=True)) == payload
+    # match across linked blocks: block 2's offset reaches block 1
+    b1 = _lz4_literal_block(b"abcdefgh")
+    b2 = b"\x04\x08\x00" + b""                # 0 literals, match off 8 len 8
+    frame = _lz4_frame([b1, b2 + b"\x10Z"])
+    assert decompress(frame) == b"abcdefgh" + b"abcdefgh" + b"Z"

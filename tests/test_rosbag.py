@@ -198,3 +198,35 @@ def test_bag_to_npz(tmp_path):
     z = np.load(tmp_path / "c.npz")
     assert z["clouds"].shape == (2, 4, 8, 3)
     assert z["imu_angular"].shape == (1, 3)
+
+
+def test_bag_lz4_chunk(tmp_path):
+    """Reader handles lz4-compressed chunks (rosbag record --lz4, the
+    common Ouster recording mode) via the pure-Python frame decoder."""
+    from test_io import _lz4_frame, _lz4_literal_block
+
+    src = tmp_path / "plain2.bag"
+    cloud = np.full((2, 4, 3), 2.0, np.float32)
+    with BagWriter(src) as w:
+        w.write_pointcloud2("/pts", 2.5, cloud)
+    raw = src.read_bytes()
+    magic = b"#ROSBAG V2.0\n"
+    body = raw[len(magic):]
+    (h1,) = struct.unpack_from("<I", body, 0)
+    (d1,) = struct.unpack_from("<I", body, 4 + h1)
+    rest = body[4 + h1 + 4 + d1:]
+    comp = _lz4_frame([_lz4_literal_block(rest[:100]),
+                       _lz4_literal_block(rest[100:])])
+    hdr = b""
+    for k, v in {b"op": b"\x05", b"compression": b"lz4",
+                 b"size": struct.pack("<I", len(rest))}.items():
+        f = k + b"=" + v
+        hdr += struct.pack("<I", len(f)) + f
+    out = (magic + body[:4 + h1 + 4 + d1]
+           + struct.pack("<I", len(hdr)) + hdr
+           + struct.pack("<I", len(comp)) + comp)
+    dst = tmp_path / "lz4.bag"
+    dst.write_bytes(out)
+    msgs = list(read_bag(dst))
+    assert len(msgs) == 1
+    np.testing.assert_array_equal(msgs[0].msg.xyz(), cloud)

@@ -239,6 +239,12 @@ def read_bag(path: str | Path, topics: set[str] | None = None
                 comp = header.get(b"compression", b"none").decode()
                 if comp == "bz2":
                     payload = bz2.decompress(data)
+                elif comp == "lz4":
+                    # rosbag --lz4 chunks are standard LZ4 frames (the
+                    # reference reads them via roslz4); pure-Python
+                    # decoder — host IO, off the device hot path
+                    from .lz4 import decompress as _lz4_decompress
+                    payload = _lz4_decompress(data)
                 elif comp == "none":
                     payload = data
                 else:
