@@ -126,3 +126,80 @@ def test_two_process_distributed_matches_single(tmp_path):
     np.testing.assert_array_equal(saved["weight"], np.asarray(st.weight))
     np.testing.assert_allclose(saved["pose"], np.asarray(pose),
                                rtol=1e-5, atol=2e-3)
+
+
+def test_two_process_sharded_app(tmp_path):
+    """The FULL pipeline app on a 2-process mesh: identical trajectories
+    in both processes, host-slab-scoped shift + per-process persistence
+    whose union equals the single-process app's map."""
+    from pathlib import Path
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    import os
+    worker = Path(__file__).parent / "_sharded_app_worker.py"
+    env = dict(os.environ,
+               PYTHONPATH=str(Path(__file__).resolve().parent.parent))
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+        assert "WORKER_OK" in out
+
+    t0 = np.load(tmp_path / "traj0.npy")
+    t1 = np.load(tmp_path / "traj1.npy")
+    # the psum'd registration loop is replicated: bitwise-identical paths
+    np.testing.assert_array_equal(t0, t1)
+
+    # single-process 4-device twin on the same scans
+    from warpsense_tpu.core.config import Params
+    from warpsense_tpu.io.synthetic import (BoxWorld, render_scan,
+                                            walk_trajectory)
+    from warpsense_tpu.parallel.sharded import make_mesh
+    from warpsense_tpu.pipeline.warpsense_sharded import ShardedWarpsenseApp
+
+    params = Params.from_dict({
+        "map": {"max_distance": 0.6, "resolution": 128, "max_weight": 10,
+                "size": {"x": 20, "y": 12, "z": 5}, "shift": 0.25,
+                "update_distance": 0.08},
+        "registration": {"max_iterations": 60, "epsilon": 0.0,
+                         "it_weight_gradient": 0.1, "mode": "fast"},
+        "lidar": {"channels": 32, "hresolution": 512},
+    })
+    app = ShardedWarpsenseApp(params, mesh=make_mesh(4),
+                              map_path=tmp_path / "single.h5",
+                              capacity=8192, window_size=(160, 101, 41))
+    poses = walk_trajectory(6, step_m=0.1)
+    world = BoxWorld.default()
+    rng = np.random.default_rng(0)
+    ts = []
+    for i, gt in enumerate(poses):
+        scan = render_scan(world, gt, channels=32, columns=512,
+                           noise_std=0.002, rng=rng)
+        ts.append(app.cloud_callback(scan, float(i)))
+    app.terminate()
+    ts = np.stack(ts)
+    np.testing.assert_allclose(t0[:, :3, 3], ts[:, :3, 3], atol=5.0)
+
+    # per-process files union == single-process map (weight-nonzero wins)
+    from warpsense_tpu.map.global_map import GlobalMap
+    area = (np.asarray([-20, -50, -20]), np.asarray([80, 50, 20]))
+    raws = []
+    for path in ("mh.p0.h5", "mh.p1.h5", "single.h5"):
+        gm = GlobalMap(tmp_path / path, 600, 0, truncate=False)
+        raws.append(gm.read_area(*area))
+        gm.close()
+    r0, r1, rs = raws
+    merged = np.where((r0 >> 16) != 0, r0, r1)
+    w_s = (rs >> 16) != 0
+    assert w_s.sum() > 1000
+    np.testing.assert_array_equal((merged >> 16) != 0, w_s)
+    # pose paths diverge by <= 5 mm -> a thin film of voxels can fuse to
+    # slightly different codes; require near-total agreement
+    agree = (merged[w_s] == rs[w_s]).mean()
+    assert agree > 0.99, f"map agreement {agree:.4f}"

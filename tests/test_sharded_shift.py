@@ -100,3 +100,37 @@ def test_sharded_shift_then_fuse_again(tmp_path):
     assert int(np.asarray(st.pos)[0]) == 8
     assert np.isfinite(np.asarray(st.value, np.float32)).all()
     gm.close()
+
+
+def test_scoped_shift_union_matches_unscoped(tmp_path):
+    """x_rows-scoped slab IO (the multi-host contract): two half-window
+    scopes shifting against separate files together persist exactly what
+    the unscoped shift persists (ring wrap included)."""
+    # unscoped reference
+    lm1, gm1, st1 = _fused(tmp_path, "uns")
+    lm1.attach_device(st1)
+    lm1.shift([12, -5, 3])
+    out1 = lm1.detach_device()
+    lm1.attach_device(out1)
+    lm1.write_back()
+    area = (np.asarray([-45, -25, -25]), np.asarray([45, 25, 25]))
+    ref = gm1.read_area(*area)
+    gm1.close()
+
+    halves = []
+    for name, rows in (("h0", (0, 40)), ("h1", (40, 80))):
+        lm, gm, st = _fused(tmp_path, name)
+        lm.attach_device(st, x_rows=rows)
+        lm.shift([12, -5, 3])
+        out = lm.detach_device()
+        lm.attach_device(out, x_rows=rows)
+        lm.write_back()
+        halves.append(gm.read_area(*area))
+        gm.close()
+
+    # union (weight != 0 wins; weight is the high half of the packed u32)
+    h0, h1 = halves
+    merged = np.where((h0 >> 16) != 0, h0, h1)
+    w_ref = (ref >> 16) != 0
+    np.testing.assert_array_equal(merged[w_ref], ref[w_ref])
+    np.testing.assert_array_equal((merged >> 16) != 0, w_ref)

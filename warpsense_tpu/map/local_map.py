@@ -108,16 +108,46 @@ class LocalMap:
         from ..native import load as _load_native
         self._native = _load_native()
         self._dev: LocalMapState | None = None
+        self._dev_local = None          # (v, w) numpy slab (multi-host)
+        self._x_scope: tuple[int, int] | None = None
 
     # -------------------------------------------------- device-backed mode
-    def attach_device(self, state: LocalMapState) -> None:
+    def attach_device(self, state: LocalMapState,
+                      x_rows: tuple[int, int] | None = None) -> None:
         """Enter device-backed mode: shift/write_back slab IO reads from and
         writes to ``state``'s DEVICE arrays directly — per shift only the
         evicted/loaded slabs move between device and host (O(slab), not
         O(window); the reference instead round-trips the whole window over
         PCIe, tsdf_mapping.cpp:116-123).  While attached, the host numpy
         mirror is NOT maintained (value_at and friends reflect stale data);
-        ``detach_device`` returns the updated device state."""
+        ``detach_device`` returns the updated device state.
+
+        ``x_rows=(lo, hi)``: restrict slab IO to ARRAY x-rows [lo, hi) —
+        the multi-host contract (parallel.distributed.host_slab_bounds):
+        each process evicts/loads/persists only the rows its devices own.
+        When the state is a multi-process global array (not fully
+        addressable), the owned rows are staged through a host-local numpy
+        slab (this host's shards) and re-assembled into a global array at
+        detach — O(host slab) per shift, still 1/n_hosts of the
+        reference's full-window PCIe round-trip."""
+        self._x_scope = x_rows
+        addressable = getattr(state.value, "is_fully_addressable", True)
+        self._dev_local = None
+        if not addressable:
+            if x_rows is None:
+                raise ValueError(
+                    "multi-process global state needs x_rows "
+                    "(host_slab_bounds) to scope slab IO")
+            lo, hi = x_rows
+            v = np.empty((hi - lo,) + tuple(state.value.shape[1:]), np.int16)
+            w = np.empty_like(v)
+            for sv, sw in zip(state.value.addressable_shards,
+                              state.weight.addressable_shards):
+                r = sv.index[0]
+                v[r.start - lo:r.stop - lo] = np.asarray(sv.data)
+                w[r.start - lo:r.stop - lo] = np.asarray(sw.data)
+            self._dev_local = (v, w)
+            self._dev_template = (state.value, state.weight)
         self._dev = LocalMapState(
             value=state.value, weight=state.weight,
             pos=np.asarray(state.pos, np.int32).copy(),
@@ -129,6 +159,28 @@ class LocalMap:
     def detach_device(self) -> LocalMapState:
         dev = self._dev
         self._dev = None
+        self._x_scope = None
+        if self._dev_local is not None:
+            vloc, wloc = self._dev_local
+            self._dev_local = None
+            tv, tw = self._dev_template
+
+            def rebuild(template, local):
+                import jax as _jax
+                start = min(s.index[0].start
+                            for s in template.addressable_shards)
+                bufs = [
+                    _jax.device_put(
+                        local[s.index[0].start - start:
+                              s.index[0].stop - start], s.device)
+                    for s in template.addressable_shards]
+                return _jax.make_array_from_single_device_arrays(
+                    template.shape, template.sharding, bufs)
+
+            return LocalMapState(
+                value=rebuild(tv, vloc), weight=rebuild(tw, wloc),
+                pos=jnp.asarray(self.state.pos),
+                offset=jnp.asarray(self.state.offset))
         return LocalMapState(
             value=dev.value, weight=dev.weight,
             pos=jnp.asarray(self.state.pos),
@@ -210,11 +262,56 @@ class LocalMap:
                 end.ctypes.data_as(i64p), raw.ctypes.data_as(u32p),
                 (size, pos, off, start, end))  # keep temporaries alive
 
+    def _x_runs(self, start, end):
+        """Split the global x range [start[0], end[0]] into runs whose
+        ARRAY rows fall inside the x scope (ring-aware: a contiguous
+        global range maps to at most a handful of scoped runs); one run
+        covering everything when unscoped."""
+        if self._x_scope is None:
+            return [(int(start[0]), int(end[0]))]
+        lo, hi = self._x_scope
+        pos = int(self.state.pos[0])
+        off = int(self.state.offset[0])
+        X = self.size[0]
+        runs, cur = [], None
+        for gx in range(int(start[0]), int(end[0]) + 1):
+            if lo <= (gx - pos + off) % X < hi:
+                if cur is None:
+                    cur = [gx, gx]
+                else:
+                    cur[1] = gx
+            elif cur is not None:
+                runs.append(tuple(cur))
+                cur = None
+        if cur is not None:
+            runs.append(tuple(cur))
+        return runs
+
+    def _local_axes(self, start, end):
+        pos = self.state.pos.astype(np.int64)
+        off = self.state.offset.astype(np.int64)
+        axes = []
+        for i in range(3):
+            rng = np.arange(start[i], end[i] + 1, dtype=np.int64)
+            axes.append(((rng - pos[i] + off[i]) % self.size[i]))
+        lo, _ = self._x_scope
+        return np.ix_(axes[0] - lo, axes[1], axes[2])
+
     def _save_area(self, start, end) -> None:
         start = np.asarray(start, np.int64)
         end = np.asarray(end, np.int64)
+        for gx0, gx1 in self._x_runs(start, end):
+            s, e = start.copy(), end.copy()
+            s[0], e[0] = gx0, gx1
+            self._save_area_run(s, e)
+
+    def _save_area_run(self, start, end) -> None:
         if self._dev is not None:
-            v, w = self._dev_gather(start, end)
+            if self._dev_local is not None:
+                ix = self._local_axes(start, end)
+                v, w = self._dev_local[0][ix], self._dev_local[1][ix]
+            else:
+                v, w = self._dev_gather(start, end)
             self.global_map.write_area(start, pack(v, w))
             return
         if self._native is not None:
@@ -230,10 +327,21 @@ class LocalMap:
     def _load_area(self, start, end) -> None:
         start = np.asarray(start, np.int64)
         end = np.asarray(end, np.int64)
+        for gx0, gx1 in self._x_runs(start, end):
+            s, e = start.copy(), end.copy()
+            s[0], e[0] = gx0, gx1
+            self._load_area_run(s, e)
+
+    def _load_area_run(self, start, end) -> None:
         raw = self.global_map.read_area(start, end)
         if self._dev is not None:
             v, w = unpack(raw)
-            self._dev_scatter(start, end, v, w)
+            if self._dev_local is not None:
+                ix = self._local_axes(start, end)
+                self._dev_local[0][ix] = v
+                self._dev_local[1][ix] = w
+            else:
+                self._dev_scatter(start, end, v, w)
             return
         if self._native is not None:
             raw = np.ascontiguousarray(raw, np.uint32)

@@ -55,6 +55,7 @@ class ShardedWarpsenseApp(WarpsenseApp):
     def __init__(self, params: Params, mesh=None,
                  map_path: str | Path | None = None,
                  window_size: tuple[int, int, int] | None = None, **kwargs):
+        import jax
         self.mesh = mesh if mesh is not None else make_mesh()
         self._axis = self.mesh.axis_names[0]
         n = self.mesh.shape[self._axis]
@@ -70,6 +71,20 @@ class ShardedWarpsenseApp(WarpsenseApp):
             raise ValueError(
                 f"window x extent {window_size[0]} must divide the "
                 f"{n}-device mesh")
+        # multi-process (multi-host) run: every process executes the same
+        # callbacks on the same scans; slab IO is scoped to the array
+        # x-rows THIS host's devices own (host_slab_bounds) and persists
+        # into a per-process map file — together the files hold exactly
+        # the single-process map (pinned in tests/test_distributed.py)
+        self._multiprocess = jax.process_count() > 1
+        if self._multiprocess:
+            from ..parallel.distributed import host_slab_bounds
+            self._slab_rows = host_slab_bounds(self.mesh, window_size)
+            if map_path is not None:
+                map_path = Path(map_path).with_suffix(
+                    f".p{jax.process_index()}.h5")
+        else:
+            self._slab_rows = None
         super().__init__(params, map_path=map_path, force_odd=False,
                          window_size=window_size, **kwargs)
 
@@ -77,6 +92,11 @@ class ShardedWarpsenseApp(WarpsenseApp):
     def _place(self, state):
         """(value, weight) x-block-sharded over the mesh, pos/offset
         replicated — called at construction, resume, and after shifts."""
+        if self._multiprocess:
+            from ..parallel.distributed import shard_state_global
+            if getattr(state.value, "is_fully_addressable", True) is False:
+                return state               # already a global array
+            return shard_state_global(state, self.mesh)
         return shard_state(state, self.mesh)
 
     def _register(self, pts, mask, pretransform) -> np.ndarray:
@@ -138,8 +158,22 @@ class ShardedWarpsenseApp(WarpsenseApp):
         new_pos = np.floor(self.pose[:3, 3] / m.resolution).astype(np.int64)
         if self.monitor is not None:
             self.monitor.publish_shift(new_pos)
-        self.local_map.attach_device(self.state)
+        self.local_map.attach_device(self.state, x_rows=self._slab_rows)
         self.local_map.shift(new_pos)
         self.state = self._place(self.local_map.detach_device())
         self.shifted = True
         self._fields = None      # window moved: registration fields stale
+
+    def terminate(self, csv_path=None) -> None:
+        """Persist map + poses.  Multi-process: each host flushes only its
+        slab rows into its own file through the scoped attach path (the
+        state is a global array the host cannot fully materialize)."""
+        if not self._multiprocess:
+            return super().terminate(csv_path)
+        self.imu_buffer.clear()
+        self.local_map.attach_device(self.state, x_rows=self._slab_rows)
+        self.local_map.write_back()
+        self.local_map.detach_device()
+        if csv_path is not None:
+            self.eval.export_results(csv_path)
+        self.global_map.close()
