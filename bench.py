@@ -336,21 +336,29 @@ ATE_TINY = dict(frames=6, channels=16, columns=128, res=128,
 def measure_ate(cfg=ATE_CFG):
     """ATE RMSE (m) of both pipelines over a rotation-rich synthetic
     sequence on the CURRENT backend.  Module-level and size-parameterized
-    so tests/test_bench.py can run it at ATE_TINY scale in CI."""
+    so tests/test_bench.py can run it at ATE_TINY scale in CI.
+
+    Warpsense is fed a synthesized gyro stream (the reference warpsense is
+    IMU-fed, app.cpp:54-63; without the rotation prior, pitch transients
+    cost seed-dependent 0.2-0.4 m per-frame spikes — measured round 4);
+    featsense runs LiDAR-only like the reference.  map.max_weight matches
+    the throughput workload (32) so accuracy and speed describe the SAME
+    configuration."""
     import pathlib
     import tempfile
 
     from warpsense_tpu.core.config import Params
-    from warpsense_tpu.io.synthetic import (BoxWorld, render_scan,
-                                            rich_trajectory)
+    from warpsense_tpu.io.synthetic import (BoxWorld, imu_stream_for,
+                                            render_scan, rich_trajectory)
     from warpsense_tpu.io.trajectory import ate_rmse
     from warpsense_tpu.pipeline.featsense import FeatsenseApp
     from warpsense_tpu.pipeline.warpsense import WarpsenseApp
+    from warpsense_tpu.utils.imu import ImuSample
 
     ch, cols = cfg["channels"], cfg["columns"]
     params = Params.from_dict({
         "map": {"max_distance": 0.6, "resolution": cfg["res"],
-                "max_weight": 10, "shift": cfg["shift"],
+                "max_weight": 32, "shift": cfg["shift"],
                 "update_distance": 0.05},
         "registration": {"max_iterations": 60, "epsilon": 0.0,
                          "it_weight_gradient": 0.1, "mode": "fast"},
@@ -368,13 +376,19 @@ def measure_ate(cfg=ATE_CFG):
     # ground truth in the apps' world frame (= the first sensor frame)
     rel = np.einsum("ij,njk->nik", np.linalg.inv(truth[0]), truth)
     tmp = pathlib.Path(tempfile.mkdtemp())
+    scan_dt = 0.1
+    imu = imu_stream_for(truth, scan_dt)
 
     app = WarpsenseApp(params, map_path=tmp / "ate_w.h5", capacity=8192,
                        window_size=cfg["window"], force_odd=False,
                        fusion="auto")
     est_w = []
     for i, scan in enumerate(scans):
-        p = app.cloud_callback(scan, float(i)).astype(np.float64).copy()
+        stamp = i * scan_dt
+        for s in imu:
+            if (i - 1) * scan_dt < s.stamp <= stamp:
+                app.imu_callback(ImuSample(s.stamp, s.angular_velocity))
+        p = app.cloud_callback(scan, stamp).astype(np.float64).copy()
         p[:3, 3] /= 1000.0
         est_w.append(p)
     app.terminate()
