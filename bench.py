@@ -65,19 +65,8 @@ TINY = dict(size=(33, 33, 33), tau=600, res=64, n=384, k=2,
 
 
 def room_cloud(n, half=18000, zhalf=6000, seed=0):
-    rng = np.random.default_rng(seed)
-    pts = []
-    per = n // 6
-    for ax in range(3):
-        for s in (-1, 1):
-            p = np.stack([
-                rng.uniform(-half, half, per),
-                rng.uniform(-half, half, per),
-                rng.uniform(-zhalf, zhalf, per),
-            ], axis=1)
-            p[:, ax] = s * (zhalf if ax == 2 else half)
-            pts.append(p)
-    return np.round(np.concatenate(pts)).astype(np.int32)
+    from warpsense_tpu.io.synthetic import box_room_cloud
+    return box_room_cloud(n, half, zhalf, seed=seed)
 
 
 def organized_room_scan(channels=128, columns=1024, half=18.0, zhalf=6.0,

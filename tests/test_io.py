@@ -168,3 +168,15 @@ def test_lz4_frame_roundtrip_paths():
     b2 = b"\x04\x08\x00" + b""                # 0 literals, match off 8 len 8
     frame = _lz4_frame([b1, b2 + b"\x10Z"])
     assert decompress(frame) == b"abcdefgh" + b"abcdefgh" + b"Z"
+
+
+def test_lz4_truncated_block_raises():
+    """Truncated blocks fail loudly at the source (code-review r4) instead
+    of returning short output that garbles downstream record parsing."""
+    import pytest
+    from warpsense_tpu.io.lz4 import decompress_block
+
+    with pytest.raises(ValueError, match="truncated literals"):
+        decompress_block(b"\xF0\x20abc", bytearray())   # claims 47 literals
+    with pytest.raises(ValueError, match="truncated match"):
+        decompress_block(b"\x44abcd\x04", bytearray())  # offset cut short

@@ -97,6 +97,11 @@ def test_featsense_resume_continues_trajectory(tmp_path):
                                last_world[:3, 3], atol=2e-3)
     fused_after = int((np.asarray(app2.mapping.state.weight) != 0).sum())
     assert fused_after > 0.9 * fused_before
+    # the shift gate compares mm poses: the resume seed must be mm too
+    # (code-review r4: a meters-frame seed makes the gate measure
+    # distance-from-origin, spuriously shifting or never shifting)
+    np.testing.assert_allclose(app2.mapping.last_shift_pose[:3, 3],
+                               last_world[:3, 3] * 1000.0, atol=2.0)
 
     # continue: refined world poses must track the true trajectory without
     # a resume discontinuity (the odometry restarts at identity; the

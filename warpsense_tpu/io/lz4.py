@@ -33,11 +33,15 @@ def decompress_block(src: bytes, dst: bytearray) -> None:
                 if b != 255:
                     break
         if lit:
+            if i + lit > n:
+                raise ValueError("corrupt lz4 block: truncated literals")
             dst += src[i:i + lit]
             i += lit
         if i >= n:        # last sequence has no match
             break
         # match
+        if i + 2 > n:
+            raise ValueError("corrupt lz4 block: truncated match offset")
         offset = src[i] | (src[i + 1] << 8)
         i += 2
         if offset == 0:

@@ -60,6 +60,24 @@ def _ray_box_enter(origins, dirs, box: Box):
     return np.where(hit, t, np.inf)
 
 
+def box_room_cloud(n: int, half: float, zhalf: float,
+                   seed: int = 0) -> np.ndarray:
+    """(~n, 3) int32 mm points uniformly sampled on the 6 walls of an
+    axis-aligned box room — the shared synthetic fixture for benches,
+    driver dry-runs, and distributed cross-process checks (ONE copy so
+    "identical in every process" comparisons stay identical)."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    for ax in range(3):
+        for s in (-1, 1):
+            p = np.stack([rng.uniform(-half, half, n // 6),
+                          rng.uniform(-half, half, n // 6),
+                          rng.uniform(-zhalf, zhalf, n // 6)], axis=1)
+            p[:, ax] = s * (zhalf if ax == 2 else half)
+            pts.append(p)
+    return np.round(np.concatenate(pts)).astype(np.int32)
+
+
 def ray_directions(channels: int = 128, columns: int = 1024,
                    vfov_deg: float = 45.0) -> np.ndarray:
     """(channels, columns, 3) unit rays in the sensor frame (OS1 layout:

