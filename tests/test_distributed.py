@@ -203,3 +203,13 @@ def test_two_process_sharded_app(tmp_path):
     # slightly different codes; require near-total agreement
     agree = (merged[w_s] == rs[w_s]).mean()
     assert agree > 0.99, f"map agreement {agree:.4f}"
+
+    # the merge_maps tool produces the same union as a single file
+    from warpsense_tpu.eval.merge_maps import merge
+    stats = merge([tmp_path / "mh.p0.h5", tmp_path / "mh.p1.h5"],
+                  tmp_path / "merged.h5")
+    assert stats["poses"] == 6
+    gm = GlobalMap(tmp_path / "merged.h5", 600, 0, truncate=False)
+    rm = gm.read_area(*area)
+    gm.close()
+    np.testing.assert_array_equal(rm, merged)
