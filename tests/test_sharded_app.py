@@ -145,3 +145,46 @@ def test_sharded_app_fields_cached_across_scans(tmp_path, walk_scans):
     finally:
         ws.precompute_fields_packed_sharded = orig
     app.terminate()
+
+
+def test_sharded_app_attitude_fallback(tmp_path):
+    """Beyond the tilt budget the sharded app fuses on the attitude-aware
+    beam grid, not the level grid (fusion_backend.grid_rotation_for wired
+    into the sharded fusion seam)."""
+    mesh = make_mesh(8)
+    app = ShardedWarpsenseApp(make_params(), mesh=mesh,
+                              map_path=tmp_path / "tilt.h5",
+                              capacity=8192, window_size=WINDOW)
+    rots = []
+    import warpsense_tpu.pipeline.warpsense_sharded as ws
+    orig = ws.tsdf_update_projective_sharded
+
+    def capture(state, pts, mask, spos, rotation, **kw):
+        rots.append(np.asarray(rotation))
+        return orig(state, pts, mask, spos, rotation, **kw)
+
+    ws.tsdf_update_projective_sharded = capture
+    try:
+        t = np.radians(12.0)
+        pitched = np.eye(4)
+        pitched[:3, :3] = [[np.cos(t), 0, np.sin(t)], [0, 1, 0],
+                           [-np.sin(t), 0, np.cos(t)]]
+        world = BoxWorld.default()
+        rng = np.random.default_rng(3)
+        # level first scan -> identity grid; then force the app pose to a
+        # pitched attitude and fuse again -> attitude grid
+        app.cloud_callback(render_scan(world, np.eye(4), channels=CH,
+                                       columns=COLS, noise_std=0.002,
+                                       rng=rng), 0.0)
+        app.pose = (pitched * 1.0).astype(np.float32)
+        app.pose[:3, 3] = 0.0
+        app.initialized = False      # force a bootstrap fuse at this pose
+        app.cloud_callback(render_scan(world, pitched, channels=CH,
+                                       columns=COLS, noise_std=0.002,
+                                       rng=rng), 1.0)
+    finally:
+        ws.tsdf_update_projective_sharded = orig
+    app.terminate()
+    assert len(rots) >= 2
+    np.testing.assert_allclose(rots[0], np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(rots[-1], pitched[:3, :3], atol=1e-5)
