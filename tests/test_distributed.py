@@ -171,9 +171,12 @@ def test_two_process_sharded_app(tmp_path):
                          "it_weight_gradient": 0.1, "mode": "fast"},
         "lidar": {"channels": 32, "hresolution": 512},
     })
+    # sync_shift: the workers shift synchronously at a fixed scan index;
+    # the single-process twin must swap at the same scan to be comparable
     app = ShardedWarpsenseApp(params, mesh=make_mesh(4),
                               map_path=tmp_path / "single.h5",
-                              capacity=8192, window_size=(160, 101, 41))
+                              capacity=8192, window_size=(160, 101, 41),
+                              sync_shift=True)
     poses = walk_trajectory(6, step_m=0.1)
     world = BoxWorld.default()
     rng = np.random.default_rng(0)

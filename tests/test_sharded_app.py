@@ -87,10 +87,12 @@ def test_sharded_app_shift_and_persist(tmp_path, walk_scans):
         pose = app.cloud_callback(scan, float(i))
         errs.append(np.linalg.norm(pose[:3, 3] / 1000.0
                                    - (gt[:3, 3] - truth[0][:3, 3])))
-    # the 0.7 m walk crossed the 0.25 m gate: the window moved
-    assert np.any(np.asarray(app.state.pos) != 0)
     assert errs[-1] < 0.15, f"post-shift errors {errs}"
     app.terminate()
+    # the 0.7 m walk crossed the 0.25 m gate: the window moved (checked
+    # AFTER terminate — the single-process shift runs on a worker thread
+    # and is collected at the next callback or at terminate)
+    assert np.any(np.asarray(app.local_map.state.pos) != 0)
 
     import h5py
     with h5py.File(tmp_path / "shift.h5") as f:

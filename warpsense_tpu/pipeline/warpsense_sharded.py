@@ -54,8 +54,14 @@ class ShardedWarpsenseApp(WarpsenseApp):
 
     def __init__(self, params: Params, mesh=None,
                  map_path: str | Path | None = None,
-                 window_size: tuple[int, int, int] | None = None, **kwargs):
+                 window_size: tuple[int, int, int] | None = None,
+                 sync_shift: bool = False, **kwargs):
+        """``sync_shift=True`` forces the synchronous window shift even
+        single-process — deterministic scan-indexed swaps for runs that
+        must be comparable step-for-step (e.g. against a multi-process
+        run, which is always synchronous)."""
         import jax
+        self._sync_shift = bool(sync_shift)
         self.mesh = mesh if mesh is not None else make_mesh()
         self._axis = self.mesh.axis_names[0]
         n = self.mesh.shape[self._axis]
@@ -148,15 +154,23 @@ class ShardedWarpsenseApp(WarpsenseApp):
         self._fields = None      # map changed: registration fields stale
 
     def _maybe_shift(self) -> None:
-        """Synchronous sharded shift: slab IO runs against the SHARDED
-        device arrays through attach_device (only the evicted/loaded slabs
-        cross the device/host boundary; parity tests/test_sharded_shift.py),
-        then the window is re-placed on the mesh.
+        """Window shift on the mesh.
 
-        Synchronous by design (vs the single-chip async worker): the
-        sharded slab gather/scatter dispatches collective-free device work
-        per shard and the whole swap costs O(slab); overlapping it with
-        registration would require a second buffered window per device."""
+        Single-process: the BASE class's async fast-mode path runs
+        unchanged — the worker thread's slab gather/scatter are
+        collective-free per-shard device ops against the immutable sharded
+        snapshot, scans keep registering on the old window meanwhile, and
+        ``_collect_shift`` re-places the swapped window via ``_place``
+        (the role of the reference's async map-shift thread,
+        tsdf_mapping.cpp:97-136, at mesh scale).
+
+        Multi-process: SYNCHRONOUS by necessity — each process must swap
+        the window at the same scan index (worker threads finishing at
+        different times would diverge the processes' collective program
+        order and deadlock the mesh); slab IO is scoped to this host's
+        rows (host_slab_bounds)."""
+        if not (self._multiprocess or self._sync_shift):
+            return super()._maybe_shift()
         m = self.params.map
         dist = np.linalg.norm(
             (self.last_shift_pose[:3, 3] - self.pose[:3, 3]) / 1000.0)
