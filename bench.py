@@ -592,13 +592,22 @@ def main():
     _, reg_iters, _ = loops["reg_once"](fields, warm)
     reg_iters = int(reg_iters)
 
-    feat = build_featsense_loops(FULL)
-    e, em, s, sm = feat["features"]
-    feat_ms = timed(feat["feat"], feat["scan"]) * 1e3
-    odom_ms = timed(feat["odom"], e, em, s, sm) * 1e3
+    # sub-blocks degrade to NaN/error entries instead of killing the
+    # whole artifact (the headline step measurement above already ran)
+    try:
+        feat = build_featsense_loops(FULL)
+        e, em, s, sm = feat["features"]
+        feat_ms = timed(feat["feat"], feat["scan"]) * 1e3
+        odom_ms = timed(feat["odom"], e, em, s, sm) * 1e3
+    except Exception as exc:                          # pragma: no cover
+        print(f"featsense block failed: {exc!r}", file=sys.stderr)
+        feat_ms = odom_ms = float("nan")
     featsense_ms = feat_ms + odom_ms
 
-    parity = kernel_parity(loops)
+    try:
+        parity = kernel_parity(loops)
+    except Exception as exc:                          # pragma: no cover
+        parity = {"error": repr(exc)[:300]}
     scaling = measure_scaling()
     accuracy = _run_worker("--ate-worker", timeout=2400)
 
