@@ -368,9 +368,15 @@ def measure_ate(cfg=ATE_CFG):
     scan_dt = 0.1
     imu = imu_stream_for(truth, scan_dt)
 
+    # "projective-level" = the PRODUCTION fusion semantic on any backend:
+    # level map-aligned binning inside the tilt envelope with the
+    # attitude-aware fallback beyond it (what the Pallas path runs on
+    # TPU) — so level-grid/dispatch regressions show in this artifact
+    # (plain "auto" on the CPU worker resolves to the always-attitude
+    # sweep, which cannot see them; measured ATE is equal: 0.014)
     app = WarpsenseApp(params, map_path=tmp / "ate_w.h5", capacity=8192,
                        window_size=cfg["window"], force_odd=False,
-                       fusion="auto")
+                       fusion="projective-level")
     est_w = []
     for i, scan in enumerate(scans):
         stamp = i * scan_dt
