@@ -53,6 +53,14 @@ def test_slam_eval_cli_smoke(tmp_path, capsys):
     assert out["frames"] == 4
     assert np.isfinite(out["ate_rmse_m"])
 
+    # the mesh app through the same CLI (8-device virtual mesh)
+    slam_eval.main(["--pipeline", "warpsense-sharded", "--frames", "4",
+                    "--channels", "16", "--columns", "256",
+                    "--map-out", str(tmp_path / "ms.h5")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pipeline"] == "warpsense-sharded"
+    assert np.isfinite(out["ate_rmse_m"])
+
 
 def test_feature_compare_includes_floam_twin():
     """feature_compare reports the independent original-F-LOAM selection

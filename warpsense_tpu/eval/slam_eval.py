@@ -40,10 +40,18 @@ def default_params(channels: int, columns: int) -> Params:
 
 
 def run_warpsense(dataset, params: Params, map_path: Path, *,
-                  capacity: int = 32768) -> dict:
-    from ..pipeline.warpsense import WarpsenseApp
-
-    app = WarpsenseApp(params, map_path=map_path, capacity=capacity)
+                  capacity: int = 32768, sharded: bool = False) -> dict:
+    if sharded:
+        # the multi-chip pipeline app over ALL devices of this process
+        # (virtual CPU meshes work too: JAX_PLATFORMS=cpu +
+        # jax_num_cpu_devices; multi-process runs suffix per-host files,
+        # see pipeline/warpsense_sharded.py)
+        from ..pipeline.warpsense_sharded import ShardedWarpsenseApp
+        app = ShardedWarpsenseApp(params, map_path=map_path,
+                                  capacity=capacity)
+    else:
+        from ..pipeline.warpsense import WarpsenseApp
+        app = WarpsenseApp(params, map_path=map_path, capacity=capacity)
     truth, est, times = [], [], []
     for frame in dataset:
         t0 = time.perf_counter()
@@ -100,7 +108,8 @@ def _report(est: np.ndarray, truth, times: list[float]) -> dict:
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--pipeline", choices=["warpsense", "featsense"],
+    ap.add_argument("--pipeline",
+                    choices=["warpsense", "warpsense-sharded", "featsense"],
                     default="warpsense")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--channels", type=int, default=128)
@@ -141,8 +150,11 @@ def main(argv=None) -> None:
     params = default_params(args.channels, args.columns)
     map_path = Path(args.map_out) if args.map_out else (
         Path(tempfile.mkdtemp()) / "slam_eval.h5")
-    runner = run_warpsense if args.pipeline == "warpsense" else run_featsense
-    stats = runner(dataset, params, map_path)
+    if args.pipeline == "featsense":
+        stats = run_featsense(dataset, params, map_path)
+    else:
+        stats = run_warpsense(dataset, params, map_path,
+                              sharded=args.pipeline == "warpsense-sharded")
     stats["pipeline"] = args.pipeline
     print(json.dumps(stats))
 
