@@ -506,7 +506,13 @@ def _run_worker(flag: str, arg: str | None = None, timeout: int = 1200):
     cmd = [sys.executable, os.path.abspath(__file__), flag]
     if arg is not None:
         cmd.append(arg)
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout)
+    except (subprocess.TimeoutExpired, OSError) as exc:
+        # a hung/failed subprocess degrades to an error entry instead of
+        # killing the whole bench artifact
+        return {"error": repr(exc)[:300]}
     line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
     if r.returncode != 0 or not line.startswith("{"):
         return {"error": (r.stderr or "no output")[-400:]}

@@ -79,9 +79,13 @@ def test_sharded_app_shift_and_persist(tmp_path, walk_scans):
     sharded device state) and persists map + poses at terminate."""
     scans, truth = walk_scans
     mesh = make_mesh(8)
+    # sync_shift=False: exercise the async worker-thread opt-in (safe on
+    # the CPU virtual mesh; see ShardedWarpsenseApp.__init__ on why sync
+    # is the default for real multi-chip meshes)
     app = ShardedWarpsenseApp(make_params(shift=0.25), mesh=mesh,
                               map_path=tmp_path / "shift.h5",
-                              capacity=8192, window_size=WINDOW)
+                              capacity=8192, window_size=WINDOW,
+                              sync_shift=False)
     errs = []
     for i, (scan, gt) in enumerate(zip(scans, truth)):
         pose = app.cloud_callback(scan, float(i))

@@ -9,11 +9,16 @@ format is /root/reference/src/map/hdf5_global_map.cpp):
 
     python -m warpsense_tpu.eval.merge_maps run.p0.h5 run.p1.h5 -o run.h5
 
-Merge rule: per voxel, the first input with a nonzero WEIGHT wins (the
+Merge rule: per voxel, the FIRST input with a nonzero WEIGHT wins (the
 packed uint32 entry is weight<<16 | value; hosts own disjoint voxel
 rows, so at most one input has a nonzero weight anywhere).  Poses and
 map meta attributes are taken from the first input that has them (every
 process writes the identical replicated pose path).
+
+Limitation: files written with ``map.initial_weight != 0`` are ambiguous
+to merge — their untouched voxels carry a nonzero weight and cannot be
+told apart from fused data (the pipelines' default initial_weight is 0,
+matching the reference).
 """
 from __future__ import annotations
 
@@ -26,33 +31,33 @@ import numpy as np
 def merge(inputs, output) -> dict:
     import h5py
 
-    n_chunks = 0
+    inputs = list(inputs)
     with h5py.File(output, "w") as out:
         om = out.require_group("map")
         op = out.require_group("poses")
         poses_done = False
-        for k, src_path in enumerate(inputs):
+        for src_path in inputs:
             with h5py.File(src_path, "r") as src:
                 if "map" in src:
-                    if k == 0:
+                    if not om.attrs and src["map"].attrs:
                         for a, v in src["map"].attrs.items():
                             om.attrs[a] = v
                     for tag, ds in src["map"].items():
                         raw = np.asarray(ds[...], np.uint32)
                         if tag in om:
                             cur = np.asarray(om[tag][...], np.uint32)
-                            w = (raw >> 16) != 0
-                            om[tag][...] = np.where(w, raw, cur)
+                            # first nonzero weight wins
+                            keep = (cur >> 16) != 0
+                            om[tag][...] = np.where(keep, cur, raw)
                         else:
                             om.create_dataset(tag, data=raw,
                                               dtype=np.uint32)
-                            n_chunks += 1
                 if not poses_done and "poses" in src and len(src["poses"]):
                     for name, grp in src["poses"].items():
                         g = op.create_group(name)
                         g.create_dataset("pose", data=grp["pose"][...])
                     poses_done = True
-        return {"inputs": len(list(inputs)), "chunks": len(om),
+        return {"inputs": len(inputs), "chunks": len(om),
                 "poses": len(op)}
 
 

@@ -55,11 +55,19 @@ class ShardedWarpsenseApp(WarpsenseApp):
     def __init__(self, params: Params, mesh=None,
                  map_path: str | Path | None = None,
                  window_size: tuple[int, int, int] | None = None,
-                 sync_shift: bool = False, **kwargs):
-        """``sync_shift=True`` forces the synchronous window shift even
-        single-process — deterministic scan-indexed swaps for runs that
-        must be comparable step-for-step (e.g. against a multi-process
-        run, which is always synchronous)."""
+                 sync_shift: bool = True, **kwargs):
+        """``sync_shift`` (default True): the window shift swaps
+        synchronously at the triggering scan — deterministic and safe on
+        any mesh.  ``sync_shift=False`` opts into the single-chip app's
+        worker-thread shift (scans keep registering on the old window
+        during the swap) — ONLY safe when a second thread's device
+        dispatches cannot reorder collectives against the main thread's:
+        the worker's slab gather/scatter on an x-sharded window lower to
+        multi-device programs (cross-shard row gathers), and on a REAL
+        multi-chip mesh their launch order racing the registration psums
+        can diverge across devices and hang the mesh.  Use it on
+        single-device meshes or after validating on your topology;
+        multi-process runs are always synchronous."""
         import jax
         self._sync_shift = bool(sync_shift)
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -154,21 +162,12 @@ class ShardedWarpsenseApp(WarpsenseApp):
         self._fields = None      # map changed: registration fields stale
 
     def _maybe_shift(self) -> None:
-        """Window shift on the mesh.
-
-        Single-process: the BASE class's async fast-mode path runs
-        unchanged — the worker thread's slab gather/scatter are
-        collective-free per-shard device ops against the immutable sharded
-        snapshot, scans keep registering on the old window meanwhile, and
-        ``_collect_shift`` re-places the swapped window via ``_place``
-        (the role of the reference's async map-shift thread,
-        tsdf_mapping.cpp:97-136, at mesh scale).
-
-        Multi-process: SYNCHRONOUS by necessity — each process must swap
-        the window at the same scan index (worker threads finishing at
-        different times would diverge the processes' collective program
-        order and deadlock the mesh); slab IO is scoped to this host's
-        rows (host_slab_bounds)."""
+        """Window shift on the mesh — SYNCHRONOUS by default (see
+        ``sync_shift`` in ``__init__`` for the async opt-in and the
+        cross-thread collective-ordering hazard it carries on real
+        multi-chip meshes).  Multi-process runs are always synchronous:
+        every process must swap at the same scan index, and slab IO is
+        scoped to this host's rows (host_slab_bounds)."""
         if not (self._multiprocess or self._sync_shift):
             return super()._maybe_shift()
         m = self.params.map
