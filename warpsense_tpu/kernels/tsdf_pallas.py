@@ -130,55 +130,86 @@ def _fusion_kernel(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref, w_ref,
     out_w_ref[0] = out_w.astype(jnp.int16)
 
 
-def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
-                           w_ref, out_v_ref, out_w_ref, *, tau, max_weight,
-                           resolution, channels, columns, vfov_deg,
+def _fusion_kernel_level16(bank_ref, t3b_ref, colc_ref, cxs_ref, cys_ref,
+                           czs_ref, v_ref, w_ref, out_v_ref, out_w_ref,
+                           acc_ref, *, tau, max_weight, resolution,
+                           channels, columns, vfov_deg,
                            hole_sentinel=32767.0):
     """The PRODUCTION level-grid fusion kernel (identity beam attitude).
-    Restructured for VPU throughput (~2.5x the naive level kernel on
-    v5e):
+    Restructured for VPU throughput (measured round 5: the whole fusion op
+    dropped 8.0 -> ~6.5 ms at the 91M-voxel window, bit-identical):
 
-    * mini rows are raw scanner-relative f32 endpoints; the column offset
-      (bx - cx, by - cy) is subtracted in-kernel at per-(row, ring)
-      volume — because a level column's voxel centers share the column's
-      (cx, cy), the per-voxel endpoint offsets (dx - bx) collapse to the
-      gathered value itself: the x/y legs of the point-to-endpoint
-      distance move from per-voxel to per-ring precompute at HALF the
-      lane volume;
+    * IN-KERNEL banked mini expansion — the beam table rides along whole
+      in VMEM as ``t3b`` (columns banked into 128-lane chunks of the
+      TRANSPOSED table, ~1.5 MB) and each (x-slice, y-block) lane-gathers
+      its own per-column beam rows from it, selecting between banks with a
+      per-block bank bitmask (``pl.when`` skips absent banks — most
+      blocks' azimuth arc touches 1-2 of 8).  This deletes the XLA row
+      gather that materialized the 600 MB ``t3[col_c]`` mini (measured
+      2.88 ms at the 208 GB/s small-row gather ceiling, r4) AND its
+      600 MB kernel re-read;
+    * per-(row, ring) endpoint precompute at HALF the voxel lane volume —
+      a level column's voxel centers share (cx, cy), so the x/y legs of
+      the point-to-endpoint distance collapse to per-ring work;
     * elevation binning drops the atan2 quadrant swap: t = dz/rho with
       |t| <= 1 inside the vFOV; outside, the raw odd polynomial is
-      provably >= pi/4 (verified numerically over (1, 1e6]), so ring_ok
-      rejects exactly the voxels the swap path would reject;
+      provably >= pi/4, so ring_ok rejects exactly what the swap would;
+    * f32-exact merge: every magnitude is < 2^24 (check_fusion_config),
+      so the averaging merge runs in f32 without the int16<->int32
+      sublane repacks (bit-identical to _merge_planes; holes use a NaN
+      r_beam sentinel whose comparisons reject exactly the isfinite set);
     * 128-row y blocks and 5-slice x blocks (DMA efficiency: +25%
       effective HBM bandwidth measured vs (1, 64, 256) blocks).
     """
     i = pl.program_id(0)
+    j = pl.program_id(1)
     xb = v_ref.shape[0]
+    yb = v_ref.shape[1]
+    spacing = math.radians(vfov_deg) / (channels - 1)
+    half_v = math.radians(vfov_deg) / 2.0
+    dzpd = dz_per_distance(channels, vfov_deg)
+    weight_epsilon = tau // 10
+    tau_f = float(tau)
+    nbanks = t3b_ref.shape[0]
     for k in range(xb):                     # unrolled x slices per block
         dx = cxs_ref[i * xb + k, 0]
         dy = cys_ref[:, 0:1]                               # (YB, 1)
         dz = czs_ref[0:1, :]                               # (1, ZB)
 
+        # ---- banked mini expansion.  Index math is hoisted out of the
+        # bank branches: within bank b the relative index is iy & 127, and
+        # lanes outside the bank gather garbage that the bank-id select
+        # discards — one (iy & 127, iy >> 7) pair serves every bank.
+        bits = bank_ref[i * xb + k, j]
+        iy = jnp.broadcast_to(colc_ref[0, pl.ds(i * xb + k, 1), :],
+                              (3 * _LANES, yb))
+        idx_lo = iy & 127
+        bank_id = iy >> 7
+        for b in range(nbanks):
+            @pl.when(bits == (1 << b))
+            def _(b=b):                 # single-bank block: no select
+                acc_ref[...] = jnp.take_along_axis(t3b_ref[b], idx_lo,
+                                                   axis=-1)
+
+            @pl.when((((bits >> b) & 1) == 1) & (bits != (1 << b)))
+            def _(b=b):
+                part = jnp.take_along_axis(t3b_ref[b], idx_lo, axis=-1)
+                acc_ref[...] = jnp.where(bank_id == b, part, acc_ref[...])
+        mini = acc_ref[...].T                              # (YB, 3*128)
+
         rho2 = dx * dx + dy * dy                           # (YB, 1)
         rho = jnp.sqrt(rho2)
         r_vox = jnp.sqrt(rho2 + dz * dz)                   # (YB, ZB)
 
-        spacing = math.radians(vfov_deg) / (channels - 1)
-        half_v = math.radians(vfov_deg) / 2.0
         # banded atan (shared with the XLA twin): |t| <= 1 <=> |el| <= 45
         # deg covers the vFOV; the reciprocal is hoisted per row
         inv_rho = 1.0 / jnp.maximum(rho, 1e-20)            # (YB, 1)
         el = banded_atan(dz * inv_rho)
         ringf = jnp.clip((half_v - el) * (1.0 / spacing), -1e4, 1e4)
-        ring = jnp.round(ringf).astype(jnp.int32)
-        ring_ok = (ring >= 0) & (ring < channels)
-        ridx = jnp.clip(ring, 0, channels - 1)
+        rr = jnp.round(ringf)                              # ring in f32
+        ring_ok = (rr >= 0) & (rr < channels)
+        ridx = jnp.clip(rr, 0, channels - 1).astype(jnp.int32)
 
-        # per-(row, ring) endpoint precompute at HALF the voxel lane
-        # volume; the mini rows are RAW scanner-relative endpoints — the
-        # column offset is subtracted here (exact integer-valued f32)
-        # instead of in an XLA pass over the whole 600 MB table
-        mini = mini_ref[k].astype(jnp.float32)             # (YB, 3*128)
         bx = mini[:, 0 * _LANES:1 * _LANES]
         by = mini[:, 1 * _LANES:2 * _LANES]
         bzr = mini[:, 2 * _LANES:3 * _LANES]               # bz (scanner-rel)
@@ -187,7 +218,7 @@ def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
         byr = by - dy                                      # by - cy
         sq_xy = bxr * bxr + byr * byr         # (dx-bx)^2 + (dy-by)^2
         r_beam_row = jnp.sqrt(bx * bx + by * by + bzr * bzr)
-        r_beam_row = jnp.where(hole, jnp.inf, r_beam_row)
+        r_beam_row = jnp.where(hole, jnp.nan, r_beam_row)  # NaN sentinel
 
         sq = _gather_lanes(sq_xy, ridx)                    # (YB, ZB)
         bz = _gather_lanes(bzr, ridx)
@@ -195,14 +226,12 @@ def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
 
         dzb = dz - bz
         value = jnp.sqrt(sq + dzb * dzb)
-        value = jnp.minimum(value, float(tau))
+        value = jnp.minimum(value, tau_f)
         behind = r_vox > r_beam
         value = jnp.where(behind, -value, value)
 
-        dzpd = dz_per_distance(channels, vfov_deg)
-        weight_epsilon = tau // 10
         delta_z = dzpd * r_vox * (1.0 / MATRIX_RESOLUTION)
-        v_res = r_vox * jnp.abs(ringf - ring.astype(jnp.float32)) * spacing
+        v_res = r_vox * jnp.abs(ringf - rr) * spacing
         vertical_ok = v_res <= jnp.maximum(delta_z, resolution * 0.5)
         # horizontal: level grid -> per-row azimuth residual (z-invariant);
         # h_res keeps the twin's exact r_vox * col_res * k evaluation order
@@ -215,19 +244,35 @@ def _fusion_kernel_level16(mini_ref, cxs_ref, cys_ref, czs_ref, v_ref,
         interp = v_res > resolution * 0.5
         w = jnp.where(
             value < -weight_epsilon,
-            jnp.floor((WEIGHT_RESOLUTION * (float(tau) + value))
+            jnp.floor((WEIGHT_RESOLUTION * (tau_f + value))
                       * (1.0 / (tau - weight_epsilon))),
-            float(WEIGHT_RESOLUTION)).astype(jnp.int32)
-        ok = (ring_ok & jnp.isfinite(r_beam) & vertical_ok & horizontal_ok
+            float(WEIGHT_RESOLUTION))                      # f32 weight
+        # a NaN r_beam makes r_vox <= r_beam + tau False for holes —
+        # exactly the set isfinite() used to reject
+        ok = (ring_ok & vertical_ok & horizontal_ok
               & (r_vox <= r_beam + tau) & (w != 0))
         w = jnp.where(interp, -w, w)
-        value_i = jnp.trunc(value).astype(jnp.int32)
-        new_v = jnp.where(ok, value_i, 0)
-        new_w = jnp.where(ok, w, 0)
+        value_t = jnp.trunc(value)
+        new_v = jnp.where(ok, value_t, 0.0)
+        new_w = jnp.where(ok, w, 0.0)
 
-        ev = v_ref[k].astype(jnp.int32)
-        ew = w_ref[k].astype(jnp.int32)
-        out_v, out_w = _merge_planes(ev, ew, new_v, new_w, max_weight)
+        # f32-exact merge (bit-identical to _merge_planes: all magnitudes
+        # < 2^24; same trunc-division-with-correction as _div_trunc_by_pos)
+        ev = v_ref[k].astype(jnp.float32)
+        ew = w_ref[k].astype(jnp.float32)
+        avg_case = (new_w > 0) & (ew > 0)
+        over_case = (new_w != 0) & (ew <= 0)
+        den = jnp.where(avg_case, ew + new_w, 1.0)
+        num = ev * ew + new_v * new_w
+        af = jnp.abs(num)
+        q = jnp.floor(af / den)
+        r = af - q * den
+        q = q + (r >= den).astype(jnp.float32) - (r < 0).astype(jnp.float32)
+        q = jnp.where(num < 0, -q, q)
+        out_v = jnp.where(avg_case, q, jnp.where(over_case, new_v, ev))
+        out_w = jnp.where(avg_case,
+                          jnp.minimum(float(max_weight), ew + new_w),
+                          jnp.where(over_case, new_w, ew))
         out_v_ref[k] = out_v.astype(jnp.int16)
         out_w_ref[k] = out_w.astype(jnp.int16)
 
@@ -300,26 +345,67 @@ def tsdf_update_projective_pallas(
                     .astype(jnp.int32), columns)           # (X, Y)
 
     if identity_rot:
-        # raw scanner-relative f32 mini (the plain row gather, nothing
-        # else — the column offset subtraction happens in-kernel at half
-        # lane volume); holes stay +inf (>= the 1e8 sentinel test).
-        # (An int16 mini was measured SLOWER on v5e: the in-kernel
-        # int16->f32 block conversion costs more than the halved HBM
-        # traffic saves.)
-        mini = t3[col_c]                                   # (X, Y, 3*128)
-        yb, mini_lanes = _YB2, 3 * _LANES
+        # in-kernel banked mini expansion: no 600 MB host-side t3[col_c]
+        # materialization at all — the whole (transposed, banked) beam
+        # table rides along in VMEM (~1.5 MB) and each block lane-gathers
+        # its own rows; holes stay +inf (>= the 1e8 sentinel test)
+        yb = _YB2
         xb = 5 if X % 5 == 0 else 1
-        kern_fn = functools.partial(_fusion_kernel_level16,
-                                    hole_sentinel=1e8)
-    else:
-        mini = t3[col_c]                                   # (X, Y, 3*128)
-        mini = jnp.concatenate([mini, col_c[..., None].astype(jnp.float32)],
-                               axis=-1)                    # (X, Y, 3*128+1)
-        yb, mini_lanes, xb = _YB, 3 * _LANES + 1, 1
-        kern_fn = _fusion_kernel      # general-rotation path
+        nbanks = pl.cdiv(columns, _LANES)
+        t3b = jnp.pad(t3, ((0, nbanks * _LANES - columns), (0, 0)),
+                      constant_values=jnp.inf)
+        t3b = t3b.T.reshape(3 * _LANES, nbanks, _LANES).transpose(1, 0, 2)
+        nyb = pl.cdiv(Y, yb)
+        colp = jnp.pad(col_c, ((0, 0), (0, nyb * yb - Y)))
+        banks = jnp.left_shift(jnp.int32(1), colp >> 7)    # (X, nyb*yb)
+        bankmask = jax.lax.reduce(banks.reshape(X, nyb, yb), jnp.int32(0),
+                                  jax.lax.bitwise_or, (2,))  # (X, nyb)
+        colc_r = colp.reshape(X, nyb, yb).transpose(1, 0, 2)  # (nyb, X, yb)
+        kern = functools.partial(
+            _fusion_kernel_level16, tau=tau, max_weight=max_weight,
+            resolution=resolution, channels=channels, columns=columns,
+            vfov_deg=vfov_deg, hole_sentinel=1e8)
+        out_v, out_w = pl.pallas_call(
+            kern,
+            grid=(X // xb, nyb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),       # bankmask
+                pl.BlockSpec(memory_space=pltpu.VMEM),       # t3b whole
+                pl.BlockSpec((1, X, yb), lambda i, j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),       # colc rows
+                pl.BlockSpec(memory_space=pltpu.SMEM),       # cxs
+                pl.BlockSpec((yb, 4), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, _ZB), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((X, Y, Z), jnp.int16),
+                jax.ShapeDtypeStruct((X, Y, Z), jnp.int16),
+            ],
+            input_output_aliases={6: 0, 7: 1},
+            scratch_shapes=[pltpu.VMEM((3 * _LANES, yb), jnp.float32)],
+            interpret=_interpret(),
+        )(bankmask, t3b, colc_r, cxs, cys, czs, state.value, state.weight)
+        return LocalMapState(value=out_v, weight=out_w, pos=state.pos,
+                             offset=state.offset)
 
+    mini = t3[col_c]                                       # (X, Y, 3*128)
+    mini = jnp.concatenate([mini, col_c[..., None].astype(jnp.float32)],
+                           axis=-1)                        # (X, Y, 3*128+1)
+    yb, mini_lanes, xb = _YB, 3 * _LANES + 1, 1
     kern = functools.partial(
-        kern_fn, tau=tau, max_weight=max_weight,
+        _fusion_kernel, tau=tau, max_weight=max_weight,
         resolution=resolution, channels=channels, columns=columns,
         vfov_deg=vfov_deg)
     grid = (X // xb, pl.cdiv(Y, yb))

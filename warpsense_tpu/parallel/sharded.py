@@ -516,20 +516,30 @@ def tsdf_update_projective_sharded(
 def slam_step_sharded(state: LocalMapState, points, mask, pretransform, *,
                       mesh: Mesh, params, size, max_steps=None,
                       max_isteps=None, scanner_pos=None, up=None,
-                      mode: str = "parity"):
+                      mode: str = "parity", capture_pose=None):
     """One full SLAM step (fusion + registration) on the mesh — the unit
     the driver dry-runs and the multi-chip pipeline executes per scan.
 
     ``mode="fast"`` runs the PRODUCTION generation (projective fusion +
     packed fields + adaptive-LM registration — the same algorithms as the
     single-chip fast pipeline); ``"parity"`` keeps the reference-exact
-    ray-march + un-normalized-gradient GN twins."""
+    ray-march + un-normalized-gradient GN twins.
+
+    ``capture_pose``: host 4x4 mm pose the scan was captured at; fast-mode
+    fusion dispatches its beam-grid attitude through the SAME tilt-envelope
+    rule as the apps (fusion_backend.grid_rotation_for) — level map-aligned
+    grid inside the envelope, true sensor attitude beyond it.  ``None``
+    (bare dryrun/bench step) assumes a level platform."""
     m = params.map
     if mode == "fast":
-        # level beam grid (identity attitude), matching the single-chip
-        # pipeline's production configuration (pipeline/warpsense.py)
+        from ..pipeline.fusion_backend import grid_rotation_for
+        if capture_pose is None:
+            grid_rot = jnp.eye(3, dtype=jnp.float32)
+        else:
+            grid_rot, _ = grid_rotation_for(np.asarray(capture_pose),
+                                            params.lidar.vfov)
         state = tsdf_update_projective_sharded(
-            state, points, mask, scanner_pos, jnp.eye(3, dtype=jnp.float32),
+            state, points, mask, scanner_pos, grid_rot,
             mesh=mesh, size=size, tau=m.tau,
             max_weight=m.max_weight_scaled, resolution=m.resolution,
             channels=params.lidar.channels,
