@@ -241,6 +241,13 @@ def build_featsense_loops(cfg):
     center = jnp.zeros(3, jnp.float32)
     emap = merge_map(empty_map(8192), e, em, center, crop=100.0, leaf=0.4)
     smap = merge_map(empty_map(16384), s, sm, center, crop=100.0, leaf=0.4)
+    # occupied-prefix bucketing, exactly as the production host shell does
+    # before every solve (OdomEstimation.update)
+    from warpsense_tpu.frontends.featsense.odometry import OdomEstimation
+    emap = OdomEstimation._occupied_prefix(
+        emap, int(np.asarray(jnp.sum(emap.mask))))
+    smap = OdomEstimation._occupied_prefix(
+        smap, int(np.asarray(jnp.sum(smap.mask))))
     q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
     t0 = jnp.zeros(3, jnp.float32)
 

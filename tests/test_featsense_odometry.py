@@ -195,3 +195,33 @@ def test_odom_estimation_host_shell_tracks_motion():
                           s_sensor, np.ones(len(s_sensor), bool))
         errs.append(np.linalg.norm(pose[:3, 3] - t))
     assert errs[-1] < 0.05, f"trajectory errors {errs}"
+
+
+def test_occupied_prefix_bucketing_is_exact():
+    """Slicing feature maps to the occupied power-of-2 prefix must not
+    change the solve: masked entries were +inf in the distance matrix, so
+    the 5-NN sets (and everything downstream) are identical.  This is the
+    production fast path in OdomEstimation.update (odometry halved on v5e
+    by shrinking the knn map side)."""
+    rng = np.random.default_rng(7)
+    cap_e, cap_s = 512, 1024
+    ne, ns = 60, 300
+    emap = odo.FeatureMapState(
+        points=jnp.asarray(rng.uniform(-5, 5, (cap_e, 3)), jnp.float32),
+        mask=jnp.arange(cap_e) < ne)
+    smap = odo.FeatureMapState(
+        points=jnp.asarray(rng.uniform(-5, 5, (cap_s, 3)), jnp.float32),
+        mask=jnp.arange(cap_s) < ns)
+    pe = odo.OdomEstimation._occupied_prefix(emap, ne, lo=64)
+    ps = odo.OdomEstimation._occupied_prefix(smap, ns, lo=64)
+    assert pe.points.shape[0] == 64 and ps.points.shape[0] == 512
+    e = jnp.asarray(rng.uniform(-5, 5, (128, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(-5, 5, (256, 3)), jnp.float32)
+    em = jnp.ones((128,), bool)
+    sm = jnp.ones((256,), bool)
+    q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    t0 = jnp.asarray([0.05, -0.02, 0.01], jnp.float32)
+    qa, ta = odo.odom_update(emap, smap, e, em, s, sm, q0, t0, jnp.int32(2))
+    qb, tb = odo.odom_update(pe, ps, e, em, s, sm, q0, t0, jnp.int32(2))
+    np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
