@@ -335,15 +335,6 @@ def _floor_norm_f(v: jax.Array) -> jax.Array:
 # The parity-generation functions above are kept as the exact-semantics
 # twins (the role ops/tsdf.py plays on one chip).
 
-def _halo_neighbors_x(v, w, axis: str, n: int):
-    """(nv, pv, nw, pw) along the PARTITIONED array x-axis via one
-    ppermute halo exchange each way (the torus wrap of the ring buffer is
-    exactly the mesh ring)."""
-    vh = _halo_exchange_x(v, axis, n)
-    wh = _halo_exchange_x(w, axis, n)
-    return vh[2:], vh[:-2], wh[2:], wh[:-2]
-
-
 @functools.partial(jax.jit, static_argnames=("mesh", "tau", "exact"))
 def precompute_fields_packed_sharded(state: LocalMapState, *, mesh: Mesh,
                                      tau: int, exact: bool = False):
@@ -363,7 +354,21 @@ def precompute_fields_packed_sharded(state: LocalMapState, *, mesh: Mesh,
     def pack_blk(value_blk, weight_blk):
         v = value_blk.astype(jnp.int32)
         w = weight_blk.astype(jnp.int32)
-        neighbors = [_halo_neighbors_x(v, w, axis, n)]
+        # the two boundary YZ-planes ride ICI in their RAW int16 form —
+        # half the halo bytes of exchanging the int32 working copies; the
+        # cast commutes with the permute, so values are identical
+        right = [(i, (i + 1) % n) for i in range(n)]
+        left = [(i, (i - 1) % n) for i in range(n)]
+
+        def halo32(blk16, blk32):
+            lh = jax.lax.ppermute(blk16[-1:], axis, right).astype(jnp.int32)
+            rh = jax.lax.ppermute(blk16[:1], axis, left).astype(jnp.int32)
+            ext = jnp.concatenate([lh, blk32, rh], axis=0)
+            return ext[2:], ext[:-2]
+
+        nv, pv = halo32(value_blk, v)
+        nw, pw = halo32(weight_blk, w)
+        neighbors = [(nv, pv, nw, pw)]
         for ax in (1, 2):
             neighbors.append((jnp.roll(v, -1, axis=ax),
                               jnp.roll(v, 1, axis=ax),
@@ -431,10 +436,19 @@ def register_cloud_packed_sharded(fields, pos, offset, points, mask,
             fields_blk, pos, offset, pts, msk, size=size,
             resolution=resolution, tau=tau, interp=interp, index_fn=index_fn)
 
+        def psum_fused(stats4):
+            # ONE 44-float all-reduce per LM iteration instead of four
+            # (H 36 + g 6 + e 1 + c 1): the payload is identical, but a
+            # single collective launch halves the per-iteration barrier
+            # count on a real ICI mesh (sums are elementwise, so packing
+            # does not change any value)
+            H, g, e, c = stats4
+            flat = jnp.concatenate([H.reshape(36), g, e[None], c[None]])
+            flat = jax.lax.psum(flat, axis)
+            return flat[:36].reshape(6, 6), flat[36:42], flat[42], flat[43]
+
         def stats(total):
-            H, g, e, c = local_stats(total)
-            H, g, e, c = jax.lax.psum((H, g, e, c), axis)
-            return H, g, e, c
+            return psum_fused(local_stats(total))
 
         split = None
         if gather_freeze:
@@ -445,7 +459,7 @@ def register_cloud_packed_sharded(fields, pos, offset, points, mask,
 
             def eval_fn(cache, total):
                 # cache is shard-varying; the psum'd stats are replicated
-                return jax.lax.psum(eval_local(cache, total), axis)
+                return psum_fused(eval_local(cache, total))
 
             split = (gather_fn, eval_fn)
 
