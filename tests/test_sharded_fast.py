@@ -141,3 +141,32 @@ def test_packed_registration_sharded_gather_freeze(fused_pair):
         mesh=mesh, gather_freeze=True, **kw)
     np.testing.assert_allclose(np.asarray(outN), np.asarray(out1),
                                rtol=1e-5, atol=2e-3)
+
+
+def test_sharded_pallas_level_kernel_matches_xla_sweep():
+    """The per-shard Pallas level kernel (kernel="pallas-level", interpret
+    mode on CPU) must be bit-identical to the sharded XLA sweep — this is
+    the path the mesh app runs on real TPUs (round-5: mesh fusion at
+    kernel speed; single-chip parity is pinned at the 91M window by the
+    bench kernel_parity block)."""
+    pts = jnp.asarray(room_cloud())
+    mask = jnp.ones((pts.shape[0],), bool)
+    kw = dict(size=SIZE, tau=TAU, max_weight=32 * WEIGHT_RESOLUTION,
+              resolution=RES, channels=CH, columns=COLS)
+    mesh = make_mesh(4)
+    spos = jnp.zeros(3, jnp.int32)
+    a = tsdf_update_projective_sharded(
+        shard_state(fresh_state(), mesh), pts, mask, spos, EYE3, mesh=mesh,
+        level=True, kernel="xla", **kw)
+    b = tsdf_update_projective_sharded(
+        shard_state(fresh_state(), mesh), pts, mask, spos, EYE3, mesh=mesh,
+        level=True, kernel="pallas-level", **kw)
+    # second chained fusion from a shifted origin exercises the merge
+    a = tsdf_update_projective_sharded(
+        a, pts, mask, spos + 2, EYE3, mesh=mesh, level=True, kernel="xla",
+        **kw)
+    b = tsdf_update_projective_sharded(
+        b, pts, mask, spos + 2, EYE3, mesh=mesh, level=True,
+        kernel="pallas-level", **kw)
+    np.testing.assert_array_equal(np.asarray(a.value), np.asarray(b.value))
+    np.testing.assert_array_equal(np.asarray(a.weight), np.asarray(b.weight))

@@ -277,6 +277,101 @@ def _fusion_kernel_level16(bank_ref, t3b_ref, colc_ref, cxs_ref, cys_ref,
         out_w_ref[k] = out_w.astype(jnp.int16)
 
 
+def build_t3(rng_tab, endpoint, scanner_mm, *, channels: int, columns: int):
+    """Beam table -> the kernel's (columns, 3*128) f32 table of RELATIVE
+    endpoints (rings padded to 128 lanes; holes +inf).  Shared by the
+    single-chip wrapper and the per-shard sharded fusion (which builds the
+    beam table replicated outside shard_map)."""
+    rel = endpoint - scanner_mm.astype(jnp.float32)
+    rel = jnp.where(jnp.isfinite(rng_tab)[:, None], rel, jnp.inf)
+    tab = rel.reshape(columns, channels, 3)
+    tab = jnp.pad(tab, ((0, 0), (0, _LANES - channels), (0, 0)),
+                  constant_values=jnp.inf)
+    return jnp.concatenate([tab[:, :, 0], tab[:, :, 1], tab[:, :, 2]],
+                           axis=-1)                        # (cols, 3*128)
+
+
+def level_sweep_merge(value, weight, cx, cy, cz, t3, rotation, *, tau,
+                      max_weight, resolution, channels, columns, vfov_deg):
+    """Level-grid Pallas fusion + merge over an arbitrary box of voxels at
+    scanner-RELATIVE coords (cx, cy, cz) (f32 mm, per axis) — the shared
+    core of ``tsdf_update_projective_pallas(identity_rot=True)`` and the
+    per-shard path in parallel/sharded.py (each shard passes its own cx
+    slice; bit-identical to the XLA twin's sweep at R = I, so mesh and
+    single-chip trajectories agree exactly).
+
+    ``rotation`` must be the identity (the level-grid contract); it is
+    still threaded through the central-azimuth formula verbatim so the
+    arithmetic matches the general path bit-for-bit.
+
+    Returns (value, weight) int16 planes of the merged map block."""
+    X, Y, Z = value.shape[0], cy.shape[0], cz.shape[0]
+    R = rotation.astype(jnp.float32)
+    cxs = jnp.stack([cx, cx * R[0, 0], cx * R[0, 1], cx * R[0, 2]], axis=-1)
+    cys = jnp.stack([cy, cy * R[1, 0], cy * R[1, 1], cy * R[1, 2]], axis=-1)
+    czs = jnp.stack([cz, cz * R[2, 0], cz * R[2, 1], cz * R[2, 2]], axis=0)
+    czs = jnp.pad(czs, ((0, 0), (0, _ZB - Z)))
+    zc = Z // 2
+    dsx_c = cxs[:, None, 1] + cys[None, :, 1] + czs[1, zc]
+    dsy_c = cxs[:, None, 2] + cys[None, :, 2] + czs[2, zc]
+    az_c = atan2_poly(dsy_c, dsx_c)
+    col_c = jnp.mod(jnp.round((az_c + math.pi) / (2 * math.pi) * columns)
+                    .astype(jnp.int32), columns)           # (X, Y)
+
+    # in-kernel banked mini expansion: no 600 MB host-side t3[col_c]
+    # materialization at all — the whole (transposed, banked) beam table
+    # rides along in VMEM (~1.5 MB) and each block lane-gathers its own
+    # rows; holes stay +inf (>= the 1e8 sentinel test)
+    yb = _YB2
+    xb = 5 if X % 5 == 0 else 1
+    nbanks = pl.cdiv(columns, _LANES)
+    t3b = jnp.pad(t3, ((0, nbanks * _LANES - columns), (0, 0)),
+                  constant_values=jnp.inf)
+    t3b = t3b.T.reshape(3 * _LANES, nbanks, _LANES).transpose(1, 0, 2)
+    nyb = pl.cdiv(Y, yb)
+    colp = jnp.pad(col_c, ((0, 0), (0, nyb * yb - Y)))
+    banks = jnp.left_shift(jnp.int32(1), colp >> 7)        # (X, nyb*yb)
+    bankmask = jax.lax.reduce(banks.reshape(X, nyb, yb), jnp.int32(0),
+                              jax.lax.bitwise_or, (2,))    # (X, nyb)
+    colc_r = colp.reshape(X, nyb, yb).transpose(1, 0, 2)   # (nyb, X, yb)
+    kern = functools.partial(
+        _fusion_kernel_level16, tau=tau, max_weight=max_weight,
+        resolution=resolution, channels=channels, columns=columns,
+        vfov_deg=vfov_deg, hole_sentinel=1e8)
+    return pl.pallas_call(
+        kern,
+        grid=(X // xb, nyb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # bankmask
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # t3b whole
+            pl.BlockSpec((1, X, yb), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),           # colc rows
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # cxs
+            pl.BlockSpec((yb, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, _ZB), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((X, Y, Z), jnp.int16),
+            jax.ShapeDtypeStruct((X, Y, Z), jnp.int16),
+        ],
+        input_output_aliases={6: 0, 7: 1},
+        scratch_shapes=[pltpu.VMEM((3 * _LANES, yb), jnp.float32)],
+        interpret=_interpret(),
+    )(bankmask, t3b, colc_r, cxs, cys, czs, value, weight)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("size", "tau", "max_weight", "resolution", "channels",
@@ -313,13 +408,8 @@ def tsdf_update_projective_pallas(
     rng_tab, endpoint = build_beam_table(
         points, points_mask, scanner_mm, rotation, channels=channels,
         columns=columns, vfov_deg=vfov_deg)
-    rel = endpoint - scanner_mm.astype(jnp.float32)
-    rel = jnp.where(jnp.isfinite(rng_tab)[:, None], rel, jnp.inf)
-    tab = rel.reshape(columns, channels, 3)
-    tab = jnp.pad(tab, ((0, 0), (0, _LANES - channels), (0, 0)),
-                  constant_values=jnp.inf)
-    t3 = jnp.concatenate([tab[:, :, 0], tab[:, :, 1], tab[:, :, 2]],
-                         axis=-1)                          # (cols, 3*128)
+    t3 = build_t3(rng_tab, endpoint, scanner_mm, channels=channels,
+                  columns=columns)
 
     # --- separable relative coordinates (ring wrap folded in, f32 mm)
     gx, gy, gz = _global_coords(state.pos, state.offset, size)
@@ -329,6 +419,15 @@ def tsdf_update_projective_pallas(
           - scanner_mm[1]).astype(jnp.float32)
     cz = (gz * resolution + resolution // 2
           - scanner_mm[2]).astype(jnp.float32)
+
+    if identity_rot:
+        out_v, out_w = level_sweep_merge(
+            state.value, state.weight, cx, cy, cz, t3, rotation, tau=tau,
+            max_weight=max_weight, resolution=resolution, channels=channels,
+            columns=columns, vfov_deg=vfov_deg)
+        return LocalMapState(value=out_v, weight=out_w, pos=state.pos,
+                             offset=state.offset)
+
     R = rotation.astype(jnp.float32)
     cxs = jnp.stack([cx, cx * R[0, 0], cx * R[0, 1], cx * R[0, 2]], axis=-1)
     cys = jnp.stack([cy, cy * R[1, 0], cy * R[1, 1], cy * R[1, 2]], axis=-1)
@@ -343,62 +442,6 @@ def tsdf_update_projective_pallas(
     az_c = atan2_poly(dsy_c, dsx_c)
     col_c = jnp.mod(jnp.round((az_c + math.pi) / (2 * math.pi) * columns)
                     .astype(jnp.int32), columns)           # (X, Y)
-
-    if identity_rot:
-        # in-kernel banked mini expansion: no 600 MB host-side t3[col_c]
-        # materialization at all — the whole (transposed, banked) beam
-        # table rides along in VMEM (~1.5 MB) and each block lane-gathers
-        # its own rows; holes stay +inf (>= the 1e8 sentinel test)
-        yb = _YB2
-        xb = 5 if X % 5 == 0 else 1
-        nbanks = pl.cdiv(columns, _LANES)
-        t3b = jnp.pad(t3, ((0, nbanks * _LANES - columns), (0, 0)),
-                      constant_values=jnp.inf)
-        t3b = t3b.T.reshape(3 * _LANES, nbanks, _LANES).transpose(1, 0, 2)
-        nyb = pl.cdiv(Y, yb)
-        colp = jnp.pad(col_c, ((0, 0), (0, nyb * yb - Y)))
-        banks = jnp.left_shift(jnp.int32(1), colp >> 7)    # (X, nyb*yb)
-        bankmask = jax.lax.reduce(banks.reshape(X, nyb, yb), jnp.int32(0),
-                                  jax.lax.bitwise_or, (2,))  # (X, nyb)
-        colc_r = colp.reshape(X, nyb, yb).transpose(1, 0, 2)  # (nyb, X, yb)
-        kern = functools.partial(
-            _fusion_kernel_level16, tau=tau, max_weight=max_weight,
-            resolution=resolution, channels=channels, columns=columns,
-            vfov_deg=vfov_deg, hole_sentinel=1e8)
-        out_v, out_w = pl.pallas_call(
-            kern,
-            grid=(X // xb, nyb),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),       # bankmask
-                pl.BlockSpec(memory_space=pltpu.VMEM),       # t3b whole
-                pl.BlockSpec((1, X, yb), lambda i, j: (j, 0, 0),
-                             memory_space=pltpu.VMEM),       # colc rows
-                pl.BlockSpec(memory_space=pltpu.SMEM),       # cxs
-                pl.BlockSpec((yb, 4), lambda i, j: (j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, _ZB), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((xb, yb, _ZB), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((X, Y, Z), jnp.int16),
-                jax.ShapeDtypeStruct((X, Y, Z), jnp.int16),
-            ],
-            input_output_aliases={6: 0, 7: 1},
-            scratch_shapes=[pltpu.VMEM((3 * _LANES, yb), jnp.float32)],
-            interpret=_interpret(),
-        )(bankmask, t3b, colc_r, cxs, cys, czs, state.value, state.weight)
-        return LocalMapState(value=out_v, weight=out_w, pos=state.pos,
-                             offset=state.offset)
 
     mini = t3[col_c]                                       # (X, Y, 3*128)
     mini = jnp.concatenate([mini, col_c[..., None].astype(jnp.float32)],

@@ -474,19 +474,26 @@ def register_cloud_packed_sharded(fields, pos, offset, points, mask,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "size", "tau", "max_weight", "resolution",
-                     "channels", "columns", "vfov_deg"),
+                     "channels", "columns", "vfov_deg", "kernel", "level"),
     donate_argnames=("state",),
 )
 def tsdf_update_projective_sharded(
         state: LocalMapState, points, points_mask, scanner_pos, rotation, *,
         mesh: Mesh, size, tau, max_weight, resolution, channels: int = 128,
-        columns: int = 1024, vfov_deg: float = 45.0) -> LocalMapState:
+        columns: int = 1024, vfov_deg: float = 45.0, kernel: str = "auto",
+        level: bool = False) -> LocalMapState:
     """Distributed twin of ops.tsdf_projective.tsdf_update_projective — the
     production fusion path at mesh scale.  The beam table (~131K entries)
     is computed replicated (it is tiny); the O(voxels) sweep + averaging
     merge — the HBM roofline term (cu_avg_tsdf_krnl touches every voxel,
     update_tsdf.cu:13-43) — runs per-shard with ZERO communication: each
-    shard sweeps its own x-slab of global coordinates."""
+    shard sweeps its own x-slab of global coordinates.
+
+    ``level=True`` declares the rotation to be the identity (the level
+    map-aligned beam grid); ``kernel`` then picks the per-shard sweep:
+    "auto" runs the Pallas level kernel on TPU (bit-identical to the XLA
+    sweep at R = I, measured ~4x faster at production windows) and the
+    XLA sweep elsewhere; "pallas-level"/"xla" force a path."""
     check_fusion_config(tau, max_weight, vfov_deg)
     X, Y, Z = size
     axis = mesh.axis_names[0]
@@ -499,6 +506,52 @@ def tsdf_update_projective_sharded(
     rng_tab, endpoint = build_beam_table(
         points, points_mask, scanner_mm, rotation, channels=channels,
         columns=columns, vfov_deg=vfov_deg)
+    use_pallas = (level and channels <= 128 and Z <= 256
+                  and kernel != "xla"
+                  and (kernel == "pallas-level"
+                       or jax.default_backend() == "tpu"))
+
+    def shard_coords(pos, offset):
+        shard = jax.lax.axis_index(axis)
+        ax = shard * Xs + jnp.arange(Xs)
+        gx = pos[0] + jnp.mod(ax - offset[0] + X // 2, X) - X // 2
+        gy = pos[1] + jnp.mod(jnp.arange(Y) - offset[1] + Y // 2, Y) - Y // 2
+        gz = pos[2] + jnp.mod(jnp.arange(Z) - offset[2] + Z // 2, Z) - Z // 2
+        return gx, gy, gz
+
+    if use_pallas:
+        from ..kernels.tsdf_pallas import build_t3, level_sweep_merge
+        t3 = build_t3(rng_tab, endpoint, scanner_mm, channels=channels,
+                      columns=columns)
+
+        # check_vma=False: the pallas call's kernel jaxpr mixes the
+        # varying map block with replicated scalar-prefetch operands and
+        # grid indices, which the vma type system cannot express (JAX
+        # suggests exactly this workaround); the body is zero-collective,
+        # so no replication invariant is at risk
+        @functools.partial(
+            jax.shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P("x", None, None), P("x", None, None), P(), P(), P(),
+                      P(), P()),
+            out_specs=(P("x", None, None), P("x", None, None)),
+        )
+        def fuse_pallas(value_blk, weight_blk, pos, offset, t3, smm, rot):
+            gx, gy, gz = shard_coords(pos, offset)
+            cx = (gx * resolution + resolution // 2
+                  - smm[0]).astype(jnp.float32)
+            cy = (gy * resolution + resolution // 2
+                  - smm[1]).astype(jnp.float32)
+            cz = (gz * resolution + resolution // 2
+                  - smm[2]).astype(jnp.float32)
+            return level_sweep_merge(
+                value_blk, weight_blk, cx, cy, cz, t3, rot, tau=tau,
+                max_weight=max_weight, resolution=resolution,
+                channels=channels, columns=columns, vfov_deg=vfov_deg)
+
+        value, weight = fuse_pallas(state.value, state.weight, state.pos,
+                                    state.offset, t3, scanner_mm, rotation)
+        return LocalMapState(value=value, weight=weight, pos=state.pos,
+                             offset=state.offset)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -507,11 +560,7 @@ def tsdf_update_projective_sharded(
         out_specs=(P("x", None, None), P("x", None, None)),
     )
     def fuse(value_blk, weight_blk, pos, offset, rng_tab, endpoint, smm, rot):
-        shard = jax.lax.axis_index(axis)
-        ax = shard * Xs + jnp.arange(Xs)
-        gx = pos[0] + jnp.mod(ax - offset[0] + X // 2, X) - X // 2
-        gy = pos[1] + jnp.mod(jnp.arange(Y) - offset[1] + Y // 2, Y) - Y // 2
-        gz = pos[2] + jnp.mod(jnp.arange(Z) - offset[2] + Z // 2, Z) - Z // 2
+        gx, gy, gz = shard_coords(pos, offset)
         new_v, new_w = projective_sweep_coords(
             gx, gy, gz, rng_tab, endpoint, smm, rot, tau=tau,
             resolution=resolution, channels=channels, columns=columns,
@@ -548,16 +597,17 @@ def slam_step_sharded(state: LocalMapState, points, mask, pretransform, *,
     if mode == "fast":
         from ..pipeline.fusion_backend import grid_rotation_for
         if capture_pose is None:
-            grid_rot = jnp.eye(3, dtype=jnp.float32)
+            grid_rot, level = jnp.eye(3, dtype=jnp.float32), True
         else:
-            grid_rot, _ = grid_rotation_for(np.asarray(capture_pose),
-                                            params.lidar.vfov)
+            grid_rot, level = grid_rotation_for(np.asarray(capture_pose),
+                                                params.lidar.vfov)
         state = tsdf_update_projective_sharded(
             state, points, mask, scanner_pos, grid_rot,
             mesh=mesh, size=size, tau=m.tau,
             max_weight=m.max_weight_scaled, resolution=m.resolution,
             channels=params.lidar.channels,
-            columns=params.lidar.hresolution, vfov_deg=params.lidar.vfov)
+            columns=params.lidar.hresolution, vfov_deg=params.lidar.vfov,
+            level=level)
         fields = precompute_fields_packed_sharded(state, mesh=mesh, tau=m.tau)
         pose, _iters, _err = register_cloud_packed_sharded(
             fields, state.pos, state.offset, points, mask, pretransform,

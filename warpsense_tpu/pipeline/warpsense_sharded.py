@@ -150,7 +150,7 @@ class ShardedWarpsenseApp(WarpsenseApp):
         scanner_pos = jnp.asarray(
             np.floor(np.asarray(pose)[:3, 3] / m.resolution)
             .astype(np.int32))
-        grid_rot, _ = grid_rotation_for(pose, self.params.lidar.vfov)
+        grid_rot, level = grid_rotation_for(pose, self.params.lidar.vfov)
         self.state = tsdf_update_projective_sharded(
             self.state, pts, mask, scanner_pos,
             grid_rot, mesh=self.mesh,
@@ -158,7 +158,7 @@ class ShardedWarpsenseApp(WarpsenseApp):
             max_weight=m.max_weight_scaled, resolution=m.resolution,
             channels=self.params.lidar.channels,
             columns=self.params.lidar.hresolution,
-            vfov_deg=self.params.lidar.vfov)
+            vfov_deg=self.params.lidar.vfov, level=level)
         self._fields = None      # map changed: registration fields stale
 
     def _maybe_shift(self) -> None:
