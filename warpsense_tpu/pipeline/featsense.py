@@ -49,7 +49,8 @@ class FeatsenseMapping:
 
     def __init__(self, params: Params, map_path: str | Path | None = None,
                  capacity: int = 32768, max_range_mm: int = 50000,
-                 fusion: str = "raymarch", resume: bool = False):
+                 fusion: str = "raymarch", resume: bool = False,
+                 mesh=None, window_size: tuple[int, int, int] | None = None):
         """``fusion``: "raymarch" (reference-exact march, the parity
         default), "projective" (dense sweep twin) or "auto" (Pallas
         level-grid kernel on TPU, projective elsewhere) — the same
@@ -61,10 +62,20 @@ class FeatsenseMapping:
         the last persisted pose, and applies that pose as a world-frame
         OFFSET to the (freshly restarted) F-LOAM odometry — the same
         checkpoint/resume capability warpsense has (SURVEY §5.4; the
-        reference truncates unconditionally, hdf5_global_map.cpp:5)."""
+        reference truncates unconditionally, hdf5_global_map.cpp:5).
+
+        ``mesh``: optional 1-D ``jax.sharding.Mesh`` — the O(voxels) TSDF
+        fusion (the back end's roofline term) runs x-block-sharded via
+        ``parallel.sharded.tsdf_update_projective_sharded`` while the
+        front end (features, odometry, VGICP) stays replicated — the mesh
+        twin of the reference's shared GPU back end (mapping.cpp:82-137);
+        the window's x extent is rounded up to a mesh multiple.
+        ``window_size`` overrides the window (and skips odd-forcing), as
+        in WarpsenseApp."""
         self.params = params
         self.capacity = int(capacity)
         self.fusion = fusion
+        self.mesh = mesh
         m = params.map
         path = Path(map_path) if map_path is not None else m.h5_path()
         self.global_map = GlobalMap(path, m.tau, m.initial_weight,
@@ -75,7 +86,18 @@ class FeatsenseMapping:
             "map_size_x": m.size_voxels[0], "map_size_y": m.size_voxels[1],
             "map_size_z": m.size_voxels[2],
         })
-        self.local_map = LocalMap(m.size_voxels, self.global_map)
+        if window_size is not None:
+            self.local_map = LocalMap(window_size, self.global_map,
+                                      force_odd=False)
+        elif mesh is not None:
+            from ..map.local_map import make_odd
+            n = mesh.shape[mesh.axis_names[0]]
+            sv = m.size_voxels
+            self.local_map = LocalMap(
+                (-(-sv[0] // n) * n, make_odd(sv[1]), make_odd(sv[2])),
+                self.global_map, force_odd=False)
+        else:
+            self.local_map = LocalMap(m.size_voxels, self.global_map)
         # world-frame offset applied to every incoming F-LOAM pose: the
         # restarted odometry begins at identity, so composing offset @
         # floam maps its relative motion onto the persisted trajectory
@@ -90,7 +112,7 @@ class FeatsenseMapping:
                 self.pose_offset[:3, 3] = last[:3]          # stored meters
                 self.local_map.load_window(np.floor(
                     last[:3] * 1000.0 / m.resolution).astype(np.int64))
-        self.state = self.local_map.device_state()
+        self.state = self._place(self.local_map.device_state())
         self.max_steps, self.max_isteps = plan_raymarch(
             m.tau, m.resolution, max_range_mm, params.lidar.channels,
             params.lidar.vfov)
@@ -104,6 +126,13 @@ class FeatsenseMapping:
         self.gicp_path: list[np.ndarray] = []
 
     # ------------------------------------------------------------------ utils
+    def _place(self, state):
+        """x-block-shard (value, weight) over the mesh when one is set."""
+        if self.mesh is None:
+            return state
+        from ..parallel.sharded import shard_state
+        return shard_state(state, self.mesh)
+
     def _subsample(self, pts: np.ndarray, mask: np.ndarray):
         """Map-resolution voxel subsample onto the fixed capacity
         (parity vgicp.h subsample + the 1M-point cap, update_tsdf.h:33)."""
@@ -119,8 +148,29 @@ class FeatsenseMapping:
         return p, m2
 
     def _update_tsdf(self, pts_world_m, mask, pose_mm: np.ndarray) -> None:
-        from .fusion_backend import fuse_cloud
         pts_mm = jnp.round(pts_world_m * 1000.0).astype(jnp.int32)
+        if self.mesh is not None:
+            # sharded back end: level map-aligned beam grid inside the
+            # tilt envelope, true attitude beyond it — the same dispatch
+            # as the sharded warpsense app (Pallas level kernel per shard
+            # on TPU, XLA sweep elsewhere)
+            from ..parallel.sharded import tsdf_update_projective_sharded
+            from .fusion_backend import grid_rotation_for
+            m = self.params.map
+            grid_rot, level = grid_rotation_for(pose_mm,
+                                                self.params.lidar.vfov)
+            scanner_pos = jnp.asarray(
+                np.floor(np.asarray(pose_mm)[:3, 3] / m.resolution)
+                .astype(np.int32))
+            self.state = tsdf_update_projective_sharded(
+                self.state, pts_mm, mask, scanner_pos, grid_rot,
+                mesh=self.mesh, size=self.local_map.size, tau=m.tau,
+                max_weight=m.max_weight_scaled, resolution=m.resolution,
+                channels=self.params.lidar.channels,
+                columns=self.params.lidar.hresolution,
+                vfov_deg=self.params.lidar.vfov, level=level)
+            return
+        from .fusion_backend import fuse_cloud
         self.state = fuse_cloud(
             self.state, pts_mm, mask, pose_mm, params=self.params,
             size=self.local_map.size, fusion=self.fusion,
@@ -134,6 +184,12 @@ class FeatsenseMapping:
             return
         self.last_shift_pose = pose_mm.copy()
         new_pos = np.floor(pose_mm[:3, 3] / m.resolution).astype(np.int64)
+        if self.mesh is not None:
+            # O(slab) device IO against the sharded state, then re-place
+            self.local_map.attach_device(self.state)
+            self.local_map.shift(new_pos)
+            self.state = self._place(self.local_map.detach_device())
+            return
         self.local_map.absorb(self.state)
         self.local_map.shift(new_pos)
         self.state = self.local_map.device_state()
@@ -230,7 +286,12 @@ class FeatsenseApp:
                  edge_capacity: int = 2048, surf_capacity: int = 4096,
                  cloud_capacity: int = 32768, profile: bool = False,
                  odom_kwargs: dict | None = None, fusion: str = "raymarch",
-                 resume: bool = False):
+                 resume: bool = False, mesh=None,
+                 window_size: tuple[int, int, int] | None = None):
+        """``mesh``/``window_size``: forwarded to ``FeatsenseMapping`` —
+        the O(voxels) TSDF back end shards over the mesh while the front
+        end stays replicated (reference architecture: one shared GPU back
+        end behind both pipelines, mapping.cpp:82-137)."""
         self.params = params
         fl = params.floam
         self.feature_params = feature_params or FeatureParams(
@@ -247,7 +308,8 @@ class FeatsenseApp:
         self.odom = OdomEstimation(**kwargs)
         self.mapping = FeatsenseMapping(params, map_path,
                                         capacity=cloud_capacity,
-                                        fusion=fusion, resume=resume)
+                                        fusion=fusion, resume=resume,
+                                        mesh=mesh, window_size=window_size)
         self.floam_path: list[np.ndarray] = []
 
     def process_scan(self, cloud_m: np.ndarray, stamp: float = 0.0
