@@ -134,3 +134,71 @@ def test_scoped_shift_union_matches_unscoped(tmp_path):
     w_ref = (ref >> 16) != 0
     np.testing.assert_array_equal(merged[w_ref], ref[w_ref])
     np.testing.assert_array_equal((merged >> 16) != 0, w_ref)
+
+
+def test_staged_shift_matches_plain_shift(tmp_path):
+    """The collective-safe staged shift (begin_shift / shift_io /
+    finish_shift — device work on the caller, HDF5 IO anywhere) must
+    produce exactly the window and global-map content of the axis-
+    sequenced ``shift`` (round-5: the mesh app's default overlapped
+    shift)."""
+    mesh = make_mesh(8)
+    new_pos = np.asarray([13, -7, 4])
+
+    lm_a, gm_a, st_a = _fused(tmp_path, "plain", sharded_mesh=mesh)
+    lm_a.attach_device(st_a)
+    lm_a.shift(new_pos)
+    st_a = lm_a.detach_device()
+
+    lm_b, gm_b, st_b = _fused(tmp_path, "staged", sharded_mesh=mesh)
+    lm_b.attach_device(st_b)
+    plan = lm_b.begin_shift(new_pos)
+    lm_b.shift_io(plan)          # (worker phase — host IO only)
+    st_b = lm_b.finish_shift(plan)
+
+    np.testing.assert_array_equal(np.asarray(st_a.value),
+                                  np.asarray(st_b.value))
+    np.testing.assert_array_equal(np.asarray(st_a.weight),
+                                  np.asarray(st_b.weight))
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.offset),
+                                  np.asarray(st_b.offset))
+    # evicted content persisted identically
+    lm_a.absorb(st_a)
+    lm_b.absorb(st_b)
+    lm_a.write_back()
+    lm_b.write_back()
+    gm_a.close()
+    gm_b.close()
+    import h5py
+    with h5py.File(tmp_path / "plain.h5", "r") as fa, \
+            h5py.File(tmp_path / "staged.h5", "r") as fb:
+        assert set(fa["map"]) == set(fb["map"])
+        for k in fa["map"]:
+            np.testing.assert_array_equal(fa["map"][k][...], fb["map"][k][...])
+
+
+def test_box_diff_partitions_correctly():
+    """A \\ B boxes are disjoint and exactly cover the difference."""
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        a_s = rng.integers(-10, 5, 3)
+        a_e = a_s + rng.integers(0, 9, 3)
+        b_s = rng.integers(-10, 5, 3)
+        b_e = b_s + rng.integers(0, 9, 3)
+        boxes = LocalMap._box_diff(a_s, a_e, b_s, b_e)
+        grid = np.zeros((30, 30, 30), int)
+
+        def mark(g, s, e, v):
+            g[s[0] + 12:e[0] + 13, s[1] + 12:e[1] + 13,
+              s[2] + 12:e[2] + 13] += v
+
+        expect = np.zeros_like(grid)
+        mark(expect, a_s, a_e, 1)
+        inter = np.zeros_like(grid)
+        mark(inter, b_s, b_e, 1)
+        expect = (expect == 1) & (inter == 0)
+        for s, e in boxes:
+            mark(grid, s, e, 1)
+        assert np.array_equal(grid.astype(bool), expect)
+        assert grid.max() <= 1, "boxes overlap"

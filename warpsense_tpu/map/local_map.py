@@ -394,6 +394,87 @@ class LocalMap:
                 end[axis] = start[axis] - diff - 1
             self._load_area(start, end)
 
+    # -------------------------------------------- overlapped (staged) shift
+    #
+    # The single-chip app may run ``shift`` on a worker thread (its device
+    # dispatches are safe with one device), but on a multi-device mesh a
+    # second thread's gather/scatter programs can reorder against the main
+    # thread's collectives and diverge across devices.  The staged shift
+    # keeps EVERY device dispatch on the calling (main) thread:
+    #   begin_shift  (main)   gather the evicted boxes off the device
+    #   shift_io     (worker) HDF5 writes + reads only — no device work
+    #   finish_shift (main)   advance pos/offset, scatter the loaded boxes
+    # Box set-differences make the phases order-free: array coords of a
+    # fixed global voxel are invariant under (pos, offset) advancing
+    # together, so the O∩N interior never moves and the evicted (O\N) and
+    # loaded (N\O) regions are disjoint — equivalent to the axis-sequenced
+    # ``shift`` (reference semantics hdf5_local_map.cpp:53-118), which
+    # interleaves IO with the axis walk instead.
+
+    @staticmethod
+    def _box_diff(a_start, a_end, b_start, b_end):
+        """Disjoint inclusive boxes covering A \\ B (axis peeling)."""
+        boxes = []
+        cur_s = np.asarray(a_start, np.int64).copy()
+        cur_e = np.asarray(a_end, np.int64).copy()
+        for ax in range(3):
+            if cur_e[ax] < b_start[ax] or cur_s[ax] > b_end[ax]:
+                boxes.append((cur_s.copy(), cur_e.copy()))   # fully outside
+                return boxes
+            if cur_s[ax] < b_start[ax]:
+                s, e = cur_s.copy(), cur_e.copy()
+                e[ax] = b_start[ax] - 1
+                boxes.append((s, e))
+                cur_s[ax] = b_start[ax]
+            if cur_e[ax] > b_end[ax]:
+                s, e = cur_s.copy(), cur_e.copy()
+                s[ax] = b_end[ax] + 1
+                boxes.append((s, e))
+                cur_e[ax] = b_end[ax]
+        return boxes                      # remaining core lies inside B
+
+    def begin_shift(self, new_pos) -> dict:
+        """Phase 1/3 (call on the MAIN thread, device attached): gather
+        the evicted boxes to host memory.  Returns the shift plan."""
+        if self._dev is None or self._dev_local is not None:
+            raise RuntimeError("begin_shift needs attach_device without an "
+                               "x-row scope (multi-process shifts are "
+                               "synchronous)")
+        new_pos = np.asarray(new_pos, np.int64)
+        pos = np.asarray(self.state.pos, np.int64)
+        size = np.asarray(self.size, np.int64)
+        if np.any(np.abs(new_pos - pos) > size):
+            raise ValueError(
+                f"shift {new_pos - pos} exceeds the window size "
+                f"{self.size}; shift more often")
+        o_s, o_e = pos - size // 2, pos + (size - 1) // 2
+        n_s, n_e = new_pos - size // 2, new_pos + (size - 1) // 2
+        evict = [(s, e) + self._dev_gather(s, e)
+                 for s, e in self._box_diff(o_s, o_e, n_s, n_e)]
+        return {"new_pos": new_pos, "evict": evict,
+                "load_boxes": self._box_diff(n_s, n_e, o_s, o_e),
+                "loaded": None}
+
+    def shift_io(self, plan: dict) -> None:
+        """Phase 2/3 (safe on a WORKER thread): pure host HDF5 IO."""
+        for s, e, v, w in plan["evict"]:
+            self.global_map.write_area(np.asarray(s), pack(v, w))
+        plan["loaded"] = [
+            (s, e) + unpack(self.global_map.read_area(s, e))
+            for s, e in plan["load_boxes"]]
+
+    def finish_shift(self, plan: dict) -> LocalMapState:
+        """Phase 3/3 (MAIN thread): advance pos/offset, scatter the loaded
+        boxes into the device state, detach."""
+        size = np.asarray(self.size, np.int64)
+        diff = plan["new_pos"] - np.asarray(self.state.pos, np.int64)
+        self.state.pos[:] = plan["new_pos"].astype(np.int32)
+        self.state.offset[:] = ((self.state.offset + diff) % size
+                                ).astype(np.int32)
+        for s, e, v, w in plan["loaded"]:
+            self._dev_scatter(s, e, v, w)
+        return self.detach_device()
+
     def write_back(self) -> None:
         pos = np.asarray(self.state.pos, dtype=np.int64)
         size = np.asarray(self.size, dtype=np.int64)

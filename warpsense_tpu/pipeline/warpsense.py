@@ -349,12 +349,20 @@ class WarpsenseApp:
             err, self._shift_error = self._shift_error, None
             self.last_shift_pose = self._pre_shift_pose
             raise RuntimeError("async map shift failed") from err
-        self.state = self._place(self.local_map.detach_device())
+        self.state = self._place(self._finish_async_shift())
         self.shifted = True
         self._fields = None      # window moved: registration fields stale
         pending, self._pending_fusion = self._pending_fusion, []
         for pts, mask, pose in pending:
             self._update_tsdf(pts, mask, pose=pose)
+
+    def _finish_async_shift(self):
+        """Swap-in seam for a completed async shift: return the post-shift
+        device state.  The single-chip worker ran the whole ``shift`` (its
+        device dispatches are safe with one device); the sharded app
+        overrides this with the staged ``finish_shift`` (main-thread
+        scatters only — see map/local_map.py's overlapped shift)."""
+        return self.local_map.detach_device()
 
     def _maybe_shift(self) -> None:
         """Shift the ring-buffer window once the pose wandered >= map.shift

@@ -55,21 +55,23 @@ class ShardedWarpsenseApp(WarpsenseApp):
     def __init__(self, params: Params, mesh=None,
                  map_path: str | Path | None = None,
                  window_size: tuple[int, int, int] | None = None,
-                 sync_shift: bool = True, **kwargs):
-        """``sync_shift`` (default True): the window shift swaps
-        synchronously at the triggering scan — deterministic and safe on
-        any mesh.  ``sync_shift=False`` opts into the single-chip app's
-        worker-thread shift (scans keep registering on the old window
-        during the swap) — ONLY safe when a second thread's device
-        dispatches cannot reorder collectives against the main thread's:
-        the worker's slab gather/scatter on an x-sharded window lower to
-        multi-device programs (cross-shard row gathers), and on a REAL
-        multi-chip mesh their launch order racing the registration psums
-        can diverge across devices and hang the mesh.  Use it on
-        single-device meshes or after validating on your topology;
-        multi-process runs are always synchronous."""
+                 sync_shift: bool = False, **kwargs):
+        """``sync_shift=False`` (the default): the window shift is
+        OVERLAPPED via the staged design (map/local_map.py begin_shift /
+        shift_io / finish_shift) — the worker thread performs host HDF5
+        IO only, while every device dispatch (evict gathers at the
+        trigger, load scatters at the swap-in) stays on the main thread
+        in program order with the registration collectives.  This keeps
+        the reference's async-shift semantics (scans register on the old
+        window during the swap; fusions queue, tsdf_mapping.cpp:97-136)
+        WITHOUT the cross-thread collective-ordering hazard that the
+        single-chip worker design would have on a real multi-chip mesh.
+        ``sync_shift=True`` swaps synchronously at the triggering scan;
+        multi-process runs are always synchronous (every process must
+        swap at the same scan index)."""
         import jax
         self._sync_shift = bool(sync_shift)
+        self._shift_plan = None
         self.mesh = mesh if mesh is not None else make_mesh()
         self._axis = self.mesh.axis_names[0]
         n = self.mesh.shape[self._axis]
@@ -162,15 +164,39 @@ class ShardedWarpsenseApp(WarpsenseApp):
         self._fields = None      # map changed: registration fields stale
 
     def _maybe_shift(self) -> None:
-        """Window shift on the mesh — SYNCHRONOUS by default (see
-        ``sync_shift`` in ``__init__`` for the async opt-in and the
-        cross-thread collective-ordering hazard it carries on real
-        multi-chip meshes).  Multi-process runs are always synchronous:
-        every process must swap at the same scan index, and slab IO is
-        scoped to this host's rows (host_slab_bounds)."""
-        if not (self._multiprocess or self._sync_shift):
-            return super()._maybe_shift()
+        """Window shift on the mesh — OVERLAPPED by default via the
+        staged collective-safe design (worker = host IO only; see
+        ``sync_shift`` in ``__init__``).  Multi-process runs are always
+        synchronous: every process must swap at the same scan index, and
+        slab IO is scoped to this host's rows (host_slab_bounds)."""
         m = self.params.map
+        if not (self._multiprocess or self._sync_shift):
+            # staged overlapped shift: device gathers HERE (main thread),
+            # host IO on the worker, device scatters in _collect_shift
+            import threading
+            if self._shift_thread is not None:
+                return                 # one shift in flight at a time
+            dist = np.linalg.norm(
+                (self.last_shift_pose[:3, 3] - self.pose[:3, 3]) / 1000.0)
+            if dist < m.shift:
+                return
+            self._pre_shift_pose = self.last_shift_pose
+            self.last_shift_pose = self.pose.copy()
+            new_pos = np.floor(self.pose[:3, 3]
+                               / m.resolution).astype(np.int64)
+            if self.monitor is not None:
+                self.monitor.publish_shift(new_pos)
+            self.local_map.attach_device(self.state)
+            self._shift_plan = self.local_map.begin_shift(new_pos)
+
+            def work():
+                try:
+                    self.local_map.shift_io(self._shift_plan)
+                except BaseException as e:   # surfaced in _collect_shift
+                    self._shift_error = e
+            self._shift_thread = threading.Thread(target=work, daemon=True)
+            self._shift_thread.start()
+            return
         dist = np.linalg.norm(
             (self.last_shift_pose[:3, 3] - self.pose[:3, 3]) / 1000.0)
         if dist < m.shift:
@@ -184,6 +210,12 @@ class ShardedWarpsenseApp(WarpsenseApp):
         self.state = self._place(self.local_map.detach_device())
         self.shifted = True
         self._fields = None      # window moved: registration fields stale
+
+    def _finish_async_shift(self):
+        """Staged swap-in: main-thread scatters of the worker-loaded
+        slabs (collective-safe; see map/local_map.py finish_shift)."""
+        plan, self._shift_plan = self._shift_plan, None
+        return self.local_map.finish_shift(plan)
 
     def terminate(self, csv_path=None) -> None:
         """Persist map + poses.  Multi-process: each host flushes only its
