@@ -407,6 +407,9 @@ def measure_ate(cfg=ATE_CFG):
     return {
         "frames": cfg["frames"],
         "trajectory": "yaw walk + pitch/roll oscillation segments",
+        "backend": "cpu subprocess (production fusion SEMANTIC, "
+                   "projective-level; the Pallas kernel's numerics are "
+                   "pinned bit-exact by the kernel_parity block)",
         "ate_rmse_warpsense_m": round(ate_rmse(np.stack(est_w), rel,
                                                align=True), 4),
         "ate_rmse_featsense_m": round(ate_rmse(np.stack(est_f), rel,
@@ -418,6 +421,304 @@ def _ate_worker() -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
     print(json.dumps(measure_ate()))
+
+
+# ----------------------------------------------- adversarial accuracy (r5)
+
+# two-room + corridor world at 128-channel scans: occlusion, doorway
+# transitions, a feature-poor straight, and a loop return — the regime the
+# single convex box room cannot probe (VERDICT r4 #3; the reference's
+# whole eval story is building-scale rosbag trajectories and it documents
+# warpsense instability under fast motion, README.md:262-279, 301).
+# Window x-span 32.8 m at 128 mm voxels covers the corridor's far wall
+# (the only along-corridor constraint).  Runs on the CURRENT backend —
+# on TPU this measures the PRODUCTION Pallas fusion kernel path.
+ADV_CFG = dict(channels=128, columns=1024, res=128, window=(256, 101, 41),
+               step_m=0.12, shift=1.0, max_frames=None)
+ADV_TINY = dict(channels=16, columns=128, res=128, window=(40, 33, 27),
+                step_m=0.5, shift=8.0, max_frames=5)
+
+CORRIDOR_SEGMENTS = (5, 6, 11, 12)     # see io.synthetic.TWO_ROOM_WAYPOINTS
+
+
+def measure_adversarial_accuracy(cfg=ADV_CFG):
+    """ATE of both pipelines over the two-room corridor loop, plus the
+    corridor segments' drift and the loop-closure error.  Size-
+    parameterized so tests/test_bench.py smoke-runs it at ADV_TINY."""
+    import pathlib
+    import tempfile
+
+    import jax
+
+    from warpsense_tpu.core.config import Params
+    from warpsense_tpu.io.synthetic import (TWO_ROOM_WAYPOINTS,
+                                            imu_stream_for, render_scan,
+                                            two_room_world,
+                                            waypoint_trajectory)
+    from warpsense_tpu.io.trajectory import ate_errors
+    from warpsense_tpu.pipeline.featsense import FeatsenseApp
+    from warpsense_tpu.pipeline.warpsense import WarpsenseApp
+    from warpsense_tpu.utils.imu import ImuSample
+
+    ch, cols = cfg["channels"], cfg["columns"]
+    params = Params.from_dict({
+        "map": {"max_distance": 0.6, "resolution": cfg["res"],
+                "max_weight": 32, "shift": cfg["shift"],
+                "update_distance": 0.05},
+        "registration": {"max_iterations": 60, "epsilon": 0.0,
+                         "it_weight_gradient": 0.1, "mode": "fast"},
+        "floam": {"min_distance": 0.5, "max_distance": 40.0,
+                  "edge_threshold": 0.5, "surf_threshold": 0.05,
+                  "edge_resolution": 0.15, "optimization_steps": 3,
+                  "enrich": 4, "vgicp_fitness_score": 6.0},
+        "lidar": {"channels": ch, "hresolution": cols},
+    })
+    truth, seg = waypoint_trajectory(TWO_ROOM_WAYPOINTS,
+                                     step_m=cfg["step_m"])
+    if cfg["max_frames"]:
+        truth, seg = truth[:cfg["max_frames"]], seg[:cfg["max_frames"]]
+    world = two_room_world()
+    rng = np.random.default_rng(0)
+    scans = [render_scan(world, p, channels=ch, columns=cols,
+                         noise_std=0.002, rng=rng) for p in truth]
+    rel = np.einsum("ij,njk->nik", np.linalg.inv(truth[0]), truth)
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    scan_dt = 0.1
+    imu = imu_stream_for(truth, scan_dt)
+
+    def corridor(err):
+        # tiny CI runs never reach the corridor segments -> NaN sentinel
+        m = np.isin(seg, CORRIDOR_SEGMENTS)
+        return round(float(np.sqrt(np.mean(err[m] ** 2))), 4) if m.any() \
+            else float("nan")
+
+    out = {"frames": len(truth), "backend": jax.default_backend(),
+           "scene": "two-room + 14 m corridor loop (occlusion, doorways, "
+                    "feature-poor straight, loop return)"}
+    app = WarpsenseApp(params, map_path=tmp / "adv_w.h5", capacity=32768,
+                       window_size=cfg["window"], force_odd=False,
+                       fusion="auto")
+    est_w = []
+    for i, scan in enumerate(scans):
+        stamp = i * scan_dt
+        for s in imu:
+            if (i - 1) * scan_dt < s.stamp <= stamp:
+                app.imu_callback(ImuSample(s.stamp, s.angular_velocity))
+        p = app.cloud_callback(scan, stamp).astype(np.float64).copy()
+        p[:3, 3] /= 1000.0
+        est_w.append(p)
+    app.terminate()
+    err_w = ate_errors(np.stack(est_w), rel, align=True)
+    out["ate_rmse_warpsense_m"] = round(float(np.sqrt(np.mean(err_w**2))), 4)
+    out["corridor_rmse_warpsense_m"] = corridor(err_w)
+    out["loop_return_err_warpsense_m"] = round(float(err_w[-1]), 4)
+
+    fapp = FeatsenseApp(params, map_path=tmp / "adv_f.h5",
+                        edge_capacity=2048, surf_capacity=4096,
+                        cloud_capacity=32768, fusion="auto",
+                        odom_kwargs=dict(edge_map_capacity=8192,
+                                         surf_map_capacity=16384))
+    est_f = [fapp.process_scan(scan, float(i)).astype(np.float64)
+             for i, scan in enumerate(scans)]
+    fapp.terminate()
+    err_f = ate_errors(np.stack(est_f), rel, align=True)
+    out["ate_rmse_featsense_m"] = round(float(np.sqrt(np.mean(err_f**2))), 4)
+    out["corridor_rmse_featsense_m"] = corridor(err_f)
+    out["loop_return_err_featsense_m"] = round(float(err_f[-1]), 4)
+    return out
+
+
+# fast-motion failure envelope (the regime the reference documents as
+# unstable for warpsense, README.md:301): short straight walks in the box
+# room at increasing per-frame motion; the envelope is the largest step
+# that still tracks (< 0.15 m ATE over the walk)
+ENV_STEPS_M = (0.15, 0.3, 0.5, 0.75, 1.0)
+ENV_CFG = dict(channels=64, columns=512, res=128, window=(160, 101, 41),
+               frames=36, shift=1.5)
+ENV_TINY = dict(channels=16, columns=128, res=128, window=(40, 33, 27),
+                frames=4, shift=8.0)
+
+
+def measure_fast_envelope(cfg=ENV_CFG, steps=ENV_STEPS_M):
+    """ATE of LiDAR-only warpsense (no IMU — fast motion is where the
+    gyro prior would mask the registration's own basin) vs per-frame
+    step; returns the curve + the largest tracked step."""
+    import pathlib
+    import tempfile
+
+    from warpsense_tpu.core.config import Params
+    from warpsense_tpu.io.synthetic import (BoxWorld, render_scan,
+                                            walk_trajectory)
+    from warpsense_tpu.io.trajectory import ate_rmse
+    from warpsense_tpu.pipeline.warpsense import WarpsenseApp
+
+    ch, cols = cfg["channels"], cfg["columns"]
+    params = Params.from_dict({
+        "map": {"max_distance": 0.6, "resolution": cfg["res"],
+                "max_weight": 32, "shift": cfg["shift"],
+                "update_distance": 0.05},
+        "registration": {"max_iterations": 60, "epsilon": 0.0,
+                         "it_weight_gradient": 0.1, "mode": "fast"},
+        "lidar": {"channels": ch, "hresolution": cols},
+    })
+    world = BoxWorld.default()
+    out = {"steps_m": list(steps), "ate_rmse_m": [], "frames": cfg["frames"]}
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    for step in steps:
+        truth = walk_trajectory(cfg["frames"], step_m=step, yaw_rate=0.04)
+        rng = np.random.default_rng(1)
+        scans = [render_scan(world, p, channels=ch, columns=cols,
+                             noise_std=0.002, rng=rng) for p in truth]
+        rel = np.einsum("ij,njk->nik", np.linalg.inv(truth[0]), truth)
+        app = WarpsenseApp(params, map_path=tmp / f"env_{step}.h5",
+                           capacity=16384, window_size=cfg["window"],
+                           force_odd=False, fusion="auto")
+        est = []
+        for i, scan in enumerate(scans):
+            p = app.cloud_callback(scan, i * 0.1).astype(np.float64).copy()
+            p[:3, 3] /= 1000.0
+            est.append(p)
+        app.terminate()
+        out["ate_rmse_m"].append(
+            round(ate_rmse(np.stack(est), rel, align=True), 4))
+    tracked = [s for s, a in zip(steps, out["ate_rmse_m"]) if a < 0.15]
+    out["max_tracked_step_m"] = max(tracked) if tracked else 0.0
+    out["note"] = ("LiDAR-only warpsense on straight box-room walks; the "
+                   "reference documents instability in this regime "
+                   "(README.md:301); tracked = ATE < 0.15 m")
+    return out
+
+
+# ------------------------------------------------- app-level throughput (r5)
+
+# the loop benches time jitted fori_loops; these run the APPLICATION
+# callbacks (preprocess, gating, HDF5 pose writes, queue discipline) so a
+# host-side orchestration regression is visible in the artifact (VERDICT
+# r4 #8; reference role: RuntimeEvaluator's whole-callback "total" span,
+# app.cpp:67-113).  NOTE on this image the tunneled platform adds ~25 ms
+# per forced device sync — reported alongside, a local host does not pay
+# it.
+APP_CFG = dict(size=(625, 625, 235), res=64, scans=16, warmup=3,
+               channels=128, columns=1024)
+APP_TINY = dict(size=(33, 33, 33), res=64, scans=2, warmup=1,
+                channels=16, columns=64)
+
+
+def _app_params(cfg):
+    from warpsense_tpu.core.config import Params
+    return Params.from_dict({
+        "map": {"max_distance": 0.6, "resolution": cfg["res"],
+                "max_weight": 32, "shift": 1000.0, "update_distance": 0.0},
+        "registration": {"max_iterations": 50, "epsilon": 0.03,
+                         "it_weight_gradient": 0.1, "mode": "fast"},
+        "floam": {"min_distance": 0.5, "max_distance": 40.0,
+                  "edge_threshold": 0.5, "surf_threshold": 0.05,
+                  "edge_resolution": 0.15, "optimization_steps": 3,
+                  "enrich": 4, "vgicp_fitness_score": 6.0},
+        "lidar": {"channels": cfg["channels"],
+                  "hresolution": cfg["columns"]},
+    })
+
+
+def _app_scans(cfg):
+    from warpsense_tpu.io.synthetic import (BoxWorld, render_scan,
+                                            walk_trajectory)
+    world = BoxWorld.default()
+    rng = np.random.default_rng(4)
+    poses = walk_trajectory(cfg["scans"] + cfg["warmup"], step_m=0.1)
+    return [render_scan(world, p, channels=cfg["channels"],
+                        columns=cfg["columns"], noise_std=0.002, rng=rng)
+            for p in poses]
+
+
+def measure_app_throughput(cfg=APP_CFG, rtt: float = 0.0):
+    """Whole-application scans/s for both pipelines at the production
+    window (fusion EVERY scan — update_distance 0, matching the loop
+    bench's conservative accounting; no shift).  Returns the warpsense
+    trajectory too so the sharded-1-dev block can pin parity."""
+    import pathlib
+    import tempfile
+
+    from warpsense_tpu.pipeline.featsense import FeatsenseApp
+    from warpsense_tpu.pipeline.warpsense import WarpsenseApp
+
+    params = _app_params(cfg)
+    scans = _app_scans(cfg)
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    out = {"scans": cfg["scans"], "window": list(cfg["size"]),
+           "tunnel_rtt_ms": round(rtt * 1e3, 1),
+           "note": "application callbacks end-to-end (preprocess, gated "
+                   "fuse, register, pose IO); fusion every scan; on this "
+                   "image each forced device sync pays the tunnel RTT"}
+
+    app = WarpsenseApp(params, map_path=tmp / "app_w.h5", capacity=32768,
+                       window_size=cfg["size"], force_odd=False,
+                       fusion="auto")
+    poses = []
+    for i, scan in enumerate(scans[:cfg["warmup"]]):
+        poses.append(app.cloud_callback(scan, float(i)))
+    t0 = time.perf_counter()
+    for i, scan in enumerate(scans[cfg["warmup"]:]):
+        poses.append(app.cloud_callback(scan, float(cfg["warmup"] + i)))
+    wall = time.perf_counter() - t0
+    app.terminate()
+    out["warpsense_app_scans_per_s"] = round(cfg["scans"] / wall, 2)
+    out["_warpsense_poses"] = poses          # stripped before printing
+
+    fapp = FeatsenseApp(params, map_path=tmp / "app_f.h5",
+                        edge_capacity=2048, surf_capacity=4096,
+                        cloud_capacity=32768, fusion="auto",
+                        odom_kwargs=dict(edge_map_capacity=8192,
+                                         surf_map_capacity=16384))
+    for i, scan in enumerate(scans[:cfg["warmup"]]):
+        fapp.process_scan(scan, float(i))
+    t0 = time.perf_counter()
+    for i, scan in enumerate(scans[cfg["warmup"]:]):
+        fapp.process_scan(scan, float(cfg["warmup"] + i))
+    wall = time.perf_counter() - t0
+    fapp.terminate()
+    out["featsense_app_scans_per_s"] = round(cfg["scans"] / wall, 2)
+    return out
+
+
+def measure_sharded_1dev(cfg=APP_CFG, ref_poses=None):
+    """The sharded APPLICATION on a 1-device mesh on the REAL backend
+    (VERDICT r4 #4): exercises shard_map + Mosaic + collective lowering
+    end-to-end where every prior mesh test was virtual-CPU, quantifies
+    the shard_map overhead at n = 1, and pins trajectory parity against
+    the plain app when ``ref_poses`` is given."""
+    import pathlib
+    import tempfile
+
+    import jax
+
+    from warpsense_tpu.parallel.sharded import make_mesh
+    from warpsense_tpu.pipeline.warpsense_sharded import ShardedWarpsenseApp
+
+    params = _app_params(cfg)
+    scans = _app_scans(cfg)
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    app = ShardedWarpsenseApp(params, mesh=make_mesh(1),
+                              map_path=tmp / "app_s.h5", capacity=32768,
+                              window_size=cfg["size"])
+    poses = []
+    for i, scan in enumerate(scans[:cfg["warmup"]]):
+        poses.append(app.cloud_callback(scan, float(i)))
+    t0 = time.perf_counter()
+    for i, scan in enumerate(scans[cfg["warmup"]:]):
+        poses.append(app.cloud_callback(scan, float(cfg["warmup"] + i)))
+    wall = time.perf_counter() - t0
+    app.terminate()
+    out = {"backend": jax.default_backend(),
+           "scans_per_s": round(cfg["scans"] / wall, 2),
+           "note": "full ShardedWarpsenseApp on a 1-device mesh "
+                   "(shard_map + per-shard Pallas fusion + psum/ppermute "
+                   "lowering on the real backend)"}
+    if ref_poses is not None:
+        diff = max(float(np.max(np.abs(p - q)))
+                   for p, q in zip(poses, ref_poses))
+        out["max_pose_diff_vs_plain_app_mm"] = round(diff, 3)
+    return out
 
 
 # ------------------------------------------------------------------ scaling
@@ -685,6 +986,23 @@ def main():
         parity = {"error": repr(exc)[:300]}
     scaling = measure_scaling()
     accuracy = _run_worker("--ate-worker", timeout=2400)
+    try:
+        adversarial = measure_adversarial_accuracy()
+    except Exception as exc:                          # pragma: no cover
+        adversarial = {"error": repr(exc)[:300]}
+    try:
+        envelope = measure_fast_envelope()
+    except Exception as exc:                          # pragma: no cover
+        envelope = {"error": repr(exc)[:300]}
+    try:
+        app_tp = measure_app_throughput(rtt=rtt)
+        ref_poses = app_tp.pop("_warpsense_poses")
+    except Exception as exc:                          # pragma: no cover
+        app_tp, ref_poses = {"error": repr(exc)[:300]}, None
+    try:
+        sharded_1dev = measure_sharded_1dev(ref_poses=ref_poses)
+    except Exception as exc:                          # pragma: no cover
+        sharded_1dev = {"error": repr(exc)[:300]}
 
     scans_per_s = 1000.0 / step_ms
     print(json.dumps({
@@ -700,6 +1018,10 @@ def main():
         "vs_baseline": round(scans_per_s / BASELINE_SCANS_PER_S, 3),
         "scaling": scaling,
         "accuracy": accuracy,
+        "accuracy_adversarial": adversarial,
+        "fast_motion_envelope": envelope,
+        "app_throughput": app_tp,
+        "sharded_1dev_tpu": sharded_1dev,
         "kernel_parity": parity,
     }))
 

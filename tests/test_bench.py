@@ -67,3 +67,35 @@ def test_measure_ate_tiny():
 def test_kernel_parity_skips_on_cpu(loops):
     out = bench.kernel_parity(loops, cfg=bench.TINY)
     assert "skipped" in out          # CPU run: twins are the same code
+
+
+def test_measure_adversarial_accuracy_tiny():
+    """The two-room corridor scene compiles and runs end-to-end at the
+    CI smoke scale (both pipelines, segment metrics present)."""
+    out = bench.measure_adversarial_accuracy(bench.ADV_TINY)
+    assert out["frames"] == 5
+    for k in ("ate_rmse_warpsense_m", "ate_rmse_featsense_m",
+              "loop_return_err_warpsense_m"):
+        assert np.isfinite(out[k])
+
+
+def test_measure_fast_envelope_tiny():
+    out = bench.measure_fast_envelope(bench.ENV_TINY, steps=(0.15, 0.5))
+    assert len(out["ate_rmse_m"]) == 2
+    assert "max_tracked_step_m" in out
+
+
+def test_measure_app_throughput_tiny():
+    out = bench.measure_app_throughput(bench.APP_TINY)
+    assert out["warpsense_app_scans_per_s"] > 0
+    assert out["featsense_app_scans_per_s"] > 0
+    assert len(out["_warpsense_poses"]) == 3
+
+
+def test_measure_sharded_1dev_tiny():
+    ref = bench.measure_app_throughput(bench.APP_TINY)
+    out = bench.measure_sharded_1dev(bench.APP_TINY,
+                                     ref_poses=ref["_warpsense_poses"])
+    assert out["scans_per_s"] > 0
+    # 1-dev mesh with identical algorithms: parity to numerical noise
+    assert out["max_pose_diff_vs_plain_app_mm"] < 5.0

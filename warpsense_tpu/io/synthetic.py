@@ -119,6 +119,106 @@ def render_scan(world: BoxWorld, pose: np.ndarray, *, channels: int = 128,
     return np.where(valid[..., None], pts_sensor, 0.0).astype(np.float32)
 
 
+def two_room_world() -> BoxWorld:
+    """Adversarial multi-room world (round-5): two 10 x 10 m rooms joined
+    by a 2 m-wide, ~14 m feature-poor corridor through 1.6 m doorways,
+    fully closed by solid wall slabs + floor/ceiling.  Everything is
+    "pillars" (solid boxes) inside a huge bounding room the rays never
+    reach — so the existing analytic renderer works unchanged.
+
+    Stresses exactly what the single convex box room cannot: occlusion
+    (walls hide most of the map at any pose), doorway transitions (the
+    visible set changes discontinuously), a feature-poor straight (the
+    corridor's parallel walls leave the along-axis translation weakly
+    observable — the far end wall is the only x constraint), and a loop
+    return (the trajectory re-enters room A through the same corridor).
+    The reference's accuracy story is rosbag trajectories of comparable
+    buildings (README.md:262-279)."""
+    zf, zc, th = -1.5, 2.5, 0.4
+    door = 0.8                      # doorway half-width
+
+    def box(x0, x1, y0, y1, z0=zf, z1=zc):
+        return Box(np.array([x0, y0, z0]), np.array([x1, y1, z1]))
+
+    walls = [
+        # floor + ceiling over the whole building footprint
+        box(-6.0, 30.0, -6.0, 6.0, zf - th, zf),
+        box(-6.0, 30.0, -6.0, 6.0, zc, zc + th),
+        # room A shell (interior x in [-5, 5], y in [-5, 5])
+        box(-5.4, -5.0, -5.4, 5.4),                  # west
+        box(-5.4, 5.4, 5.0, 5.4),                    # north
+        box(-5.4, 5.4, -5.4, -5.0),                  # south
+        box(5.0, 5.4, -5.4, -door),                  # east, south of door
+        box(5.0, 5.4, door, 5.4),                    # east, north of door
+        # corridor walls (interior y in [-door, door], x in [5.4, 18.6])
+        box(5.4, 18.6, door, door + th),
+        box(5.4, 18.6, -door - th, -door),
+        # room B shell (interior x in [19, 29], y in [-5, 5])
+        box(18.6, 19.0, -5.4, -door),                # west, south of door
+        box(18.6, 19.0, door, 5.4),                  # west, north of door
+        box(29.0, 29.4, -5.4, 5.4),                  # east
+        box(18.6, 29.4, 5.0, 5.4),                   # north
+        box(18.6, 29.4, -5.4, -5.0),                 # south
+        # furniture: feature anchors inside the rooms (occluders)
+        box(2.0, 2.6, 2.0, 2.6, zf, 1.2),
+        box(-3.4, -2.8, -3.2, -2.4, zf, 2.0),
+        box(-2.0, -1.4, 3.0, 3.8, zf, 0.8),
+        box(21.5, 22.3, 2.2, 2.8, zf, 1.6),
+        box(26.0, 26.8, -3.0, -2.2, zf, 1.0),
+        box(23.0, 23.6, -1.0, -0.4, zf, 2.0),
+    ]
+    bound = Box(np.array([-60.0, -60.0, -60.0]), np.array([60.0, 60.0, 60.0]))
+    return BoxWorld(room=bound, pillars=walls)
+
+
+# waypoints of the two-room loop: lap around room A, out through the
+# corridor, lap around room B, back through the corridor (loop return)
+TWO_ROOM_WAYPOINTS = [
+    (0.0, 0.0), (0.0, 2.8), (-2.8, 0.0), (0.0, -2.8), (2.8, 0.0),
+    (3.5, 0.0), (12.0, 0.0), (22.0, 0.0), (24.0, 2.6), (26.5, 0.0),
+    (24.0, -2.6), (21.5, 0.0), (12.0, 0.0), (3.5, 0.0), (0.0, 0.0),
+]
+
+
+def waypoint_trajectory(waypoints, *, step_m: float = 0.12, z: float = 0.3,
+                        yaw_smooth: float = 0.25):
+    """Piecewise-linear walk through 2-D ``waypoints`` at ``step_m`` per
+    frame, yaw low-pass-tracking the direction of motion (a robot turning
+    through corners, not teleporting its heading).
+
+    Returns (poses (N, 4, 4) float64 meters, segment_id (N,) int32 — the
+    waypoint segment each frame lies on, for per-segment drift metrics).
+    """
+    wps = np.asarray(waypoints, float)
+    pts, seg = [], []
+    for i in range(len(wps) - 1):
+        a, b = wps[i], wps[i + 1]
+        d = np.linalg.norm(b - a)
+        n = max(1, int(np.ceil(d / step_m)))
+        for k in range(n):
+            pts.append(a + (b - a) * (k / n))
+            seg.append(i)
+    pts.append(wps[-1])
+    seg.append(len(wps) - 2)
+    pts = np.asarray(pts)
+    poses = np.zeros((len(pts), 4, 4))
+    yaw = None
+    for i, p in enumerate(pts):
+        d = (pts[min(i + 1, len(pts) - 1)] - pts[max(i - 1, 0)])
+        target = np.arctan2(d[1], d[0]) if np.linalg.norm(d) > 1e-9 else 0.0
+        if yaw is None:
+            yaw = target
+        else:
+            # shortest-arc low-pass toward the travel direction
+            dy = (target - yaw + np.pi) % (2 * np.pi) - np.pi
+            yaw += yaw_smooth * dy
+        c, s = np.cos(yaw), np.sin(yaw)
+        poses[i] = np.eye(4)
+        poses[i][:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        poses[i][:3, 3] = [p[0], p[1], z]
+    return poses, np.asarray(seg, np.int32)
+
+
 def circular_trajectory(n_poses: int, radius: float = 2.0,
                         z: float = 0.3, yaw_rate: float | None = None
                         ) -> np.ndarray:

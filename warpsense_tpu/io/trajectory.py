@@ -75,10 +75,12 @@ def umeyama_alignment(src: np.ndarray, dst: np.ndarray,
     return R, t, s
 
 
-def ate_rmse(estimate: np.ndarray, reference: np.ndarray, *,
-             align: bool = True) -> float:
-    """Absolute trajectory error RMSE over (N, 4, 4) pose arrays (meters).
-    With ``align`` the estimate is Umeyama-SE(3)-aligned first (evo -a)."""
+def ate_errors(estimate: np.ndarray, reference: np.ndarray, *,
+               align: bool = True) -> np.ndarray:
+    """Per-frame absolute translation errors (N,) in meters over (N, 4, 4)
+    pose arrays; with ``align`` the estimate is Umeyama-SE(3)-aligned
+    first (evo -a).  The per-frame view backs segment-level drift metrics
+    (e.g. the corridor segments of the adversarial accuracy scene)."""
     est = np.asarray(estimate, np.float64)[:, :3, 3]
     ref = np.asarray(reference, np.float64)[:, :3, 3]
     if len(est) != len(ref):
@@ -86,4 +88,12 @@ def ate_rmse(estimate: np.ndarray, reference: np.ndarray, *,
     if align and len(est) >= 3:
         R, t, s = umeyama_alignment(est, ref)
         est = est @ (s * R).T + t
-    return float(np.sqrt(np.mean(np.sum((est - ref) ** 2, axis=1))))
+    return np.sqrt(np.sum((est - ref) ** 2, axis=1))
+
+
+def ate_rmse(estimate: np.ndarray, reference: np.ndarray, *,
+             align: bool = True) -> float:
+    """Absolute trajectory error RMSE over (N, 4, 4) pose arrays (meters).
+    With ``align`` the estimate is Umeyama-SE(3)-aligned first (evo -a)."""
+    return float(np.sqrt(np.mean(
+        ate_errors(estimate, reference, align=align) ** 2)))
