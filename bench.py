@@ -433,38 +433,32 @@ def _ate_worker() -> None:
 # Window x-span 32.8 m at 128 mm voxels covers the corridor's far wall
 # (the only along-corridor constraint).  Runs on the CURRENT backend —
 # on TPU this measures the PRODUCTION Pallas fusion kernel path.
-ADV_CFG = dict(channels=128, columns=1024, res=128, window=(256, 101, 41),
-               step_m=0.12, shift=1.0, max_frames=None)
+ADV_CFG = dict(channels=128, columns=512, res=128, window=(256, 101, 41),
+               step_m=0.2, shift=1.0, max_frames=None)
 ADV_TINY = dict(channels=16, columns=128, res=128, window=(40, 33, 27),
                 step_m=0.5, shift=8.0, max_frames=5)
 
 CORRIDOR_SEGMENTS = (5, 6, 11, 12)     # see io.synthetic.TWO_ROOM_WAYPOINTS
 
 
-def measure_adversarial_accuracy(cfg=ADV_CFG):
-    """ATE of both pipelines over the two-room corridor loop, plus the
-    corridor segments' drift and the loop-closure error.  Size-
-    parameterized so tests/test_bench.py smoke-runs it at ADV_TINY."""
-    import pathlib
-    import tempfile
-
-    import jax
-
+def _adversarial_inputs(cfg):
     from warpsense_tpu.core.config import Params
     from warpsense_tpu.io.synthetic import (TWO_ROOM_WAYPOINTS,
                                             imu_stream_for, render_scan,
                                             two_room_world,
                                             waypoint_trajectory)
-    from warpsense_tpu.io.trajectory import ate_errors
-    from warpsense_tpu.pipeline.featsense import FeatsenseApp
-    from warpsense_tpu.pipeline.warpsense import WarpsenseApp
-    from warpsense_tpu.utils.imu import ImuSample
 
     ch, cols = cfg["channels"], cfg["columns"]
+    # update_distance 0.25 = the reference's fusion gate
+    # (params/params.yaml:34) — measured load-bearing here: fusing every
+    # scan closes a fuse-at-estimated-pose feedback loop on freshly
+    # mapped corridor walls (first seen at grazing incidence, so their
+    # evidence is young exactly when they are the only lateral
+    # constraint) that runs the pose away exponentially
     params = Params.from_dict({
         "map": {"max_distance": 0.6, "resolution": cfg["res"],
                 "max_weight": 32, "shift": cfg["shift"],
-                "update_distance": 0.05},
+                "update_distance": 0.25},
         "registration": {"max_iterations": 60, "epsilon": 0.0,
                          "it_weight_gradient": 0.1, "mode": "fast"},
         "floam": {"min_distance": 0.5, "max_distance": 40.0,
@@ -482,49 +476,95 @@ def measure_adversarial_accuracy(cfg=ADV_CFG):
     scans = [render_scan(world, p, channels=ch, columns=cols,
                          noise_std=0.002, rng=rng) for p in truth]
     rel = np.einsum("ij,njk->nik", np.linalg.inv(truth[0]), truth)
+    imu = imu_stream_for(truth, 0.1)
+    return params, truth, seg, scans, rel, imu
+
+
+def _segment_metrics(err, seg):
+    # tiny CI runs never reach the corridor segments -> NaN sentinel
+    m = np.isin(seg, CORRIDOR_SEGMENTS)
+    corridor = (round(float(np.sqrt(np.mean(err[m] ** 2))), 4) if m.any()
+                else float("nan"))
+    return {"ate_rmse_m": round(float(np.sqrt(np.mean(err ** 2))), 4),
+            "corridor_rmse_m": corridor,
+            "loop_return_err_m": round(float(err[-1]), 4)}
+
+
+def measure_adversarial_warpsense(cfg=ADV_CFG):
+    """Warpsense over the two-room corridor loop on the CURRENT backend
+    (the production Pallas fusion path on TPU), IMU-fed like the
+    reference (app.cpp:54-63)."""
+    import pathlib
+    import tempfile
+
+    import jax
+
+    from warpsense_tpu.io.trajectory import ate_errors
+    from warpsense_tpu.pipeline.warpsense import WarpsenseApp
+    from warpsense_tpu.utils.imu import ImuSample
+
+    params, truth, seg, scans, rel, imu = _adversarial_inputs(cfg)
     tmp = pathlib.Path(tempfile.mkdtemp())
-    scan_dt = 0.1
-    imu = imu_stream_for(truth, scan_dt)
-
-    def corridor(err):
-        # tiny CI runs never reach the corridor segments -> NaN sentinel
-        m = np.isin(seg, CORRIDOR_SEGMENTS)
-        return round(float(np.sqrt(np.mean(err[m] ** 2))), 4) if m.any() \
-            else float("nan")
-
-    out = {"frames": len(truth), "backend": jax.default_backend(),
-           "scene": "two-room + 14 m corridor loop (occlusion, doorways, "
-                    "feature-poor straight, loop return)"}
+    # bucket IMU samples by scan interval once (the naive per-frame list
+    # scan is O(frames x samples) of pure Python)
+    buckets = [[] for _ in scans]
+    for s in imu:
+        i = int(np.ceil(s.stamp / 0.1 - 1e-9))
+        if 0 <= i < len(buckets):
+            buckets[i].append(s)
     app = WarpsenseApp(params, map_path=tmp / "adv_w.h5", capacity=32768,
                        window_size=cfg["window"], force_odd=False,
                        fusion="auto")
-    est_w = []
+    est = []
     for i, scan in enumerate(scans):
-        stamp = i * scan_dt
-        for s in imu:
-            if (i - 1) * scan_dt < s.stamp <= stamp:
-                app.imu_callback(ImuSample(s.stamp, s.angular_velocity))
-        p = app.cloud_callback(scan, stamp).astype(np.float64).copy()
+        for s in buckets[i]:
+            app.imu_callback(ImuSample(s.stamp, s.angular_velocity))
+        p = app.cloud_callback(scan, i * 0.1).astype(np.float64).copy()
         p[:3, 3] /= 1000.0
-        est_w.append(p)
+        est.append(p)
     app.terminate()
-    err_w = ate_errors(np.stack(est_w), rel, align=True)
-    out["ate_rmse_warpsense_m"] = round(float(np.sqrt(np.mean(err_w**2))), 4)
-    out["corridor_rmse_warpsense_m"] = corridor(err_w)
-    out["loop_return_err_warpsense_m"] = round(float(err_w[-1]), 4)
+    err = ate_errors(np.stack(est), rel, align=True)
+    out = {"frames": len(truth), "backend": jax.default_backend(),
+           "scene": "two-room + 14 m corridor loop (occlusion, doorways, "
+                    "feature-poor straight, loop return)"}
+    out.update({f"warpsense_{k}": v
+                for k, v in _segment_metrics(err, seg).items()})
+    return out
 
+
+def measure_adversarial_featsense(cfg=ADV_CFG):
+    """Featsense (LiDAR-only, like the reference) over the same loop."""
+    import pathlib
+    import tempfile
+
+    import jax
+
+    from warpsense_tpu.io.trajectory import ate_errors
+    from warpsense_tpu.pipeline.featsense import FeatsenseApp
+
+    params, truth, seg, scans, rel, _ = _adversarial_inputs(cfg)
+    tmp = pathlib.Path(tempfile.mkdtemp())
     fapp = FeatsenseApp(params, map_path=tmp / "adv_f.h5",
                         edge_capacity=2048, surf_capacity=4096,
                         cloud_capacity=32768, fusion="auto",
                         odom_kwargs=dict(edge_map_capacity=8192,
                                          surf_map_capacity=16384))
-    est_f = [fapp.process_scan(scan, float(i)).astype(np.float64)
-             for i, scan in enumerate(scans)]
+    est = [fapp.process_scan(scan, float(i)).astype(np.float64)
+           for i, scan in enumerate(scans)]
     fapp.terminate()
-    err_f = ate_errors(np.stack(est_f), rel, align=True)
-    out["ate_rmse_featsense_m"] = round(float(np.sqrt(np.mean(err_f**2))), 4)
-    out["corridor_rmse_featsense_m"] = corridor(err_f)
-    out["loop_return_err_featsense_m"] = round(float(err_f[-1]), 4)
+    err = ate_errors(np.stack(est), rel, align=True)
+    out = {"backend": jax.default_backend()}
+    out.update({f"featsense_{k}": v
+                for k, v in _segment_metrics(err, seg).items()})
+    return out
+
+
+def measure_adversarial_accuracy(cfg=ADV_CFG):
+    """Both pipelines sequentially on the current backend (used by the CI
+    smoke test; bench main instead overlaps the featsense half in a CPU
+    subprocess with the TPU-bound warpsense half)."""
+    out = measure_adversarial_warpsense(cfg)
+    out.update(measure_adversarial_featsense(cfg))
     return out
 
 
@@ -986,10 +1026,17 @@ def main():
         parity = {"error": repr(exc)[:300]}
     scaling = measure_scaling()
     accuracy = _run_worker("--ate-worker", timeout=2400)
+    # both adversarial halves run on the TPU: the app loops are tunnel-
+    # latency-bound (~0.5-1 s/scan) but the CPU alternative measured
+    # 3-4 s/scan for featsense at these shapes
     try:
-        adversarial = measure_adversarial_accuracy()
+        adversarial = measure_adversarial_warpsense()
     except Exception as exc:                          # pragma: no cover
         adversarial = {"error": repr(exc)[:300]}
+    try:
+        adversarial.update(measure_adversarial_featsense())
+    except Exception as exc:                          # pragma: no cover
+        adversarial["featsense_error"] = repr(exc)[:300]
     try:
         envelope = measure_fast_envelope()
     except Exception as exc:                          # pragma: no cover

@@ -74,8 +74,8 @@ def test_measure_adversarial_accuracy_tiny():
     CI smoke scale (both pipelines, segment metrics present)."""
     out = bench.measure_adversarial_accuracy(bench.ADV_TINY)
     assert out["frames"] == 5
-    for k in ("ate_rmse_warpsense_m", "ate_rmse_featsense_m",
-              "loop_return_err_warpsense_m"):
+    for k in ("warpsense_ate_rmse_m", "featsense_ate_rmse_m",
+              "warpsense_loop_return_err_m"):
         assert np.isfinite(out[k])
 
 

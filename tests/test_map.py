@@ -146,9 +146,17 @@ def test_lru_eviction_persists(tmp_path):
     gm.close()
 
 
-def test_shift_too_far_raises(local_map):
-    with pytest.raises(ValueError):
-        local_map.shift((6, 0, 0))
+def test_shift_beyond_window_hops_correctly(local_map):
+    """A move beyond the window extent walks there in window-sized hops
+    (round-5 robustness: a diverged pose or far resume degrades to a
+    window reload instead of a crashed run).  Content must equal a fresh
+    reload at the destination."""
+    v0, w0 = local_map.value_at((1, 1, 0))
+    local_map.shift((17, -13, 0))            # several window spans away
+    assert tuple(local_map.state.pos) == (17, -13, 0)
+    # original content persisted to the global map and reloads exactly
+    local_map.shift((0, 0, 0))
+    assert local_map.value_at((1, 1, 0)) == (v0, w0)
 
 
 def test_absorb_then_shift_mutable(tmp_path):

@@ -68,6 +68,22 @@ class RegistrationParams:
     # below one voxel — the refinement tail iterates on cached per-point
     # fields (~free vs ~1 ms/gather)
     gather_freeze: bool = True
+    # fast mode only: seed registration with the previous frame's
+    # translation delta (constant-velocity prediction — featsense's
+    # odometry has the same prior, odom_estimation.cpp:59-64; the
+    # reference warpsense app starts every scan at zero velocity, which
+    # in along-axis-degenerate geometry (a corridor) lets the pose slide
+    # ~50% behind the motion — measured on the two-room scene, round 5).
+    # Rotation still comes from the IMU accumulator.
+    velocity_prior: bool = True
+    # fast mode only: reject a registration result that moves the pose
+    # more than this per scan and keep the prior instead (a 10-20 Hz
+    # platform cannot move metres between scans; a degenerate low-count
+    # solve CAN — measured at the two-room scene's doorway transition,
+    # where an accepted ill-conditioned step teleported the pose ~14 m.
+    # Same graceful-degradation pattern as the reference's VGICP fitness
+    # gate, vgicp.h:59-63).  <= 0 disables.
+    sane_step_m: float = 2.0
 
 
 @dataclass

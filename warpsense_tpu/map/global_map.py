@@ -18,6 +18,7 @@ Improvements over the reference (documented capability deltas):
 """
 from __future__ import annotations
 
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -45,6 +46,14 @@ class GlobalMap:
         self.path = Path(path)
         mode = "w" if truncate or not self.path.exists() else "a"
         self._f = h5py.File(self.path, mode)
+        # ONE lock around every h5py access + the LRU dict: the async
+        # map-shift worker calls write_area/read_area while the main
+        # thread writes poses every scan — h5py releases the GIL around
+        # HDF5 IO, and two threads inside the (non-threadsafe) library
+        # deadlock it (measured: a shift worker hung mid-corridor, the
+        # fusion queue starved the map, and the pose flew off unmapped
+        # terrain).  Coarse by design: uncontended in the common path.
+        self._lock = threading.RLock()
         self.default_value = int(default_value)
         self.default_weight = int(default_weight)
         self._map = self._f.require_group(MAP_GROUP[1:])
@@ -64,22 +73,24 @@ class GlobalMap:
     def activate_chunk(self, chunk_pos) -> np.ndarray:
         """Return the chunk's raw uint32 buffer, loading / LRU-evicting as
         needed (parity hdf5_global_map.cpp:59-137)."""
-        key = (int(chunk_pos[0]), int(chunk_pos[1]), int(chunk_pos[2]))
-        if key in self._active:
-            chunk = self._active.pop(key)
-            self._active[key] = chunk  # refresh recency
+        with self._lock:
+            key = (int(chunk_pos[0]), int(chunk_pos[1]), int(chunk_pos[2]))
+            if key in self._active:
+                chunk = self._active.pop(key)
+                self._active[key] = chunk  # refresh recency
+                return chunk
+            tag = tag_from_chunk_pos(key)
+            if tag in self._map:
+                chunk = np.asarray(self._map[tag][...],
+                                   dtype=np.uint32).reshape(-1)
+            else:
+                chunk = self._default_chunk()
+            if len(self._active) >= NUM_ACTIVE_CHUNKS:
+                old_key, old_chunk = next(iter(self._active.items()))
+                del self._active[old_key]
+                self._store(old_key, old_chunk)
+            self._active[key] = chunk
             return chunk
-        tag = tag_from_chunk_pos(key)
-        if tag in self._map:
-            chunk = np.asarray(self._map[tag][...], dtype=np.uint32).reshape(-1)
-        else:
-            chunk = self._default_chunk()
-        if len(self._active) >= NUM_ACTIVE_CHUNKS:
-            old_key, old_chunk = next(iter(self._active.items()))
-            del self._active[old_key]
-            self._store(old_key, old_chunk)
-        self._active[key] = chunk
-        return chunk
 
     def _store(self, key, chunk: np.ndarray) -> None:
         tag = tag_from_chunk_pos(key)
@@ -125,6 +136,11 @@ class GlobalMap:
         cs = CHUNK_SIZE
         c0 = np.floor_divide(start, cs)
         c1 = np.floor_divide(end, cs)
+        with self._lock:
+            self._for_each_chunk_locked(c0, c1, start, end, block, save)
+
+    def _for_each_chunk_locked(self, c0, c1, start, end, block, save):
+        cs = CHUNK_SIZE
         for cx in range(c0[0], c1[0] + 1):
             for cy in range(c0[1], c1[1] + 1):
                 for cz in range(c0[2], c1[2] + 1):
@@ -141,37 +157,44 @@ class GlobalMap:
 
     # ------------------------------------------------------------------- poses
     def write_pose(self, translation, quat_xyzw, scale: float = 1.0) -> None:
-        g = self._poses.create_group(str(self._num_poses))
-        self._num_poses += 1
-        t = np.asarray(translation, dtype=np.float32) / float(scale)
-        q = np.asarray(quat_xyzw, dtype=np.float32)
-        vals = np.round(np.concatenate([t, q]) * 1000.0) / 1000.0
-        g.create_dataset(POSE_DATASET, data=vals.astype(np.float32))
+        with self._lock:
+            g = self._poses.create_group(str(self._num_poses))
+            self._num_poses += 1
+            t = np.asarray(translation, dtype=np.float32) / float(scale)
+            q = np.asarray(quat_xyzw, dtype=np.float32)
+            vals = np.round(np.concatenate([t, q]) * 1000.0) / 1000.0
+            g.create_dataset(POSE_DATASET, data=vals.astype(np.float32))
 
     def read_poses(self) -> np.ndarray:
-        out = []
-        for i in range(len(self._poses)):
-            out.append(np.asarray(self._poses[str(i)][POSE_DATASET][...], dtype=np.float32))
-        return np.stack(out) if out else np.zeros((0, POSE_SIZE), np.float32)
+        with self._lock:
+            out = []
+            for i in range(len(self._poses)):
+                out.append(np.asarray(self._poses[str(i)][POSE_DATASET][...],
+                                      dtype=np.float32))
+            return (np.stack(out) if out
+                    else np.zeros((0, POSE_SIZE), np.float32))
 
     # -------------------------------------------------------------------- meta
     def write_meta(self, meta: dict) -> None:
-        for k, v in meta.items():
-            self._map.attrs[k] = v
-        self._f.flush()
+        with self._lock:
+            for k, v in meta.items():
+                self._map.attrs[k] = v
+            self._f.flush()
 
     def read_meta(self) -> dict:
         return dict(self._map.attrs)
 
     # ---------------------------------------------------------------- lifetime
     def write_back(self) -> None:
-        for key, chunk in self._active.items():
-            self._store(key, chunk)
-        self._f.flush()
+        with self._lock:
+            for key, chunk in self._active.items():
+                self._store(key, chunk)
+            self._f.flush()
 
     def close(self) -> None:
-        self.write_back()
-        self._f.close()
+        with self._lock:
+            self.write_back()
+            self._f.close()
 
     def __enter__(self):
         return self

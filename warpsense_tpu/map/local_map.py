@@ -366,33 +366,41 @@ class LocalMap:
         new_pos = np.asarray(new_pos, dtype=np.int64)
         size = np.asarray(self.size, dtype=np.int64)
         for axis in range(3):
-            pos = np.asarray(self.state.pos, dtype=np.int64)
-            diff = int(new_pos[axis] - pos[axis])
-            if diff == 0:
-                continue
-            if abs(diff) > self.size[axis]:
-                raise ValueError(
-                    f"shift of {diff} voxels on axis {axis} exceeds window size "
-                    f"{self.size[axis]}; shift more often")
-            start = pos - size // 2
-            end = pos + (size - 1) // 2
-            if diff > 0:
-                end[axis] = start[axis] + diff - 1
-            else:
-                start[axis] = end[axis] + diff + 1
-            self._save_area(start, end)
+            # a move beyond the window extent (a diverged pose, or a resume
+            # far from the last window) is walked in window-sized hops —
+            # each hop's save/load is exact, so arbitrary distances stay
+            # correct instead of killing the run (robustness over the
+            # reference's implicit small-shift assumption)
+            while int(new_pos[axis] - self.state.pos[axis]) != 0:
+                pos = np.asarray(self.state.pos, dtype=np.int64)
+                full = int(new_pos[axis] - pos[axis])
+                diff = int(np.clip(full, -self.size[axis], self.size[axis]))
+                self._shift_axis(axis, diff, size)
 
-            self.state.pos[axis] += diff
-            self.state.offset[axis] = (self.state.offset[axis] + diff) % self.size[axis]
+    def _shift_axis(self, axis: int, diff: int, size) -> None:
+        """One axis hop (|diff| <= size[axis]): save vacated, advance,
+        load visible."""
+        pos = np.asarray(self.state.pos, dtype=np.int64)
+        start = pos - size // 2
+        end = pos + (size - 1) // 2
+        if diff > 0:
+            end[axis] = start[axis] + diff - 1
+        else:
+            start[axis] = end[axis] + diff + 1
+        self._save_area(start, end)
 
-            pos = np.asarray(self.state.pos, dtype=np.int64)
-            start = pos - size // 2
-            end = pos + (size - 1) // 2
-            if diff > 0:
-                start[axis] = end[axis] - (diff - 1)
-            else:
-                end[axis] = start[axis] - diff - 1
-            self._load_area(start, end)
+        self.state.pos[axis] += diff
+        self.state.offset[axis] = (self.state.offset[axis] + diff) \
+            % self.size[axis]
+
+        pos = np.asarray(self.state.pos, dtype=np.int64)
+        start = pos - size // 2
+        end = pos + (size - 1) // 2
+        if diff > 0:
+            start[axis] = end[axis] - (diff - 1)
+        else:
+            end[axis] = start[axis] - diff - 1
+        self._load_area(start, end)
 
     # -------------------------------------------- overlapped (staged) shift
     #
@@ -443,10 +451,10 @@ class LocalMap:
         new_pos = np.asarray(new_pos, np.int64)
         pos = np.asarray(self.state.pos, np.int64)
         size = np.asarray(self.size, np.int64)
-        if np.any(np.abs(new_pos - pos) > size):
-            raise ValueError(
-                f"shift {new_pos - pos} exceeds the window size "
-                f"{self.size}; shift more often")
+        # no distance guard: the box set-difference is exact at ANY
+        # distance (a move beyond the window evicts all of O and loads
+        # all of N) — a diverged pose degrades to a window reload, not a
+        # crashed run
         o_s, o_e = pos - size // 2, pos + (size - 1) // 2
         n_s, n_e = new_pos - size // 2, new_pos + (size - 1) // 2
         evict = [(s, e) + self._dev_gather(s, e)

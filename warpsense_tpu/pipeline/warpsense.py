@@ -99,6 +99,7 @@ class WarpsenseApp:
                                   self.global_map, force_odd=force_odd)
 
         self.pose = np.eye(4, dtype=np.float32)  # mm translation
+        self._prev_pose = None     # previous scan's pose (velocity prior)
         self.initialized = False
         if resume:
             poses = self.global_map.read_poses()
@@ -227,12 +228,31 @@ class WarpsenseApp:
         # spurious ~2 sin(theta/2) r tangential offset every scan.
         dR = pretransform[:3, :3]
         pretransform[:3, 3] += (np.eye(3, dtype=np.float32) - dR) @ self.pose[:3, 3]
+        imu_only = pretransform.copy()
+        if (self.params.registration.mode == "fast"
+                and self.params.registration.velocity_prior
+                and self._prev_pose is not None):
+            # constant-velocity translation seed (config.velocity_prior):
+            # without it, along-axis-degenerate geometry lets the LM's
+            # damped weak direction slide behind the true motion
+            pretransform[:3, 3] += self.pose[:3, 3] - self._prev_pose[:3, 3]
+        self._prev_pose = self.pose.copy()
 
         if prof:
             prof.start("registration")
         transform = self._register(pts, mask, pretransform)
         if prof:
             prof.stop("registration")
+        sane = self.params.registration.sane_step_m
+        if self.params.registration.mode == "fast" and sane > 0:
+            delta = (transform @ self.pose)[:3, 3] - self.pose[:3, 3]
+            if float(np.linalg.norm(delta)) > sane * 1000.0:
+                # implausible per-scan motion: a degenerate solve escaped
+                # the map (config.sane_step_m) — keep the IMU-only prior
+                # (NOT the velocity-seeded one: extrapolating an already
+                # implausible velocity is exactly the ballistic runaway
+                # this gate exists to stop) and let the next scans re-lock
+                transform = imu_only.astype(np.float32)
 
         # Pose update: full SE3 composition pose <- transform @ pose.  The
         # registration refined `total` over the already-pose-transformed
