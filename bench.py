@@ -572,7 +572,7 @@ def measure_adversarial_accuracy(cfg=ADV_CFG):
 # unstable for warpsense, README.md:301): short straight walks in the box
 # room at increasing per-frame motion; the envelope is the largest step
 # that still tracks (< 0.15 m ATE over the walk)
-ENV_STEPS_M = (0.15, 0.3, 0.5, 0.75, 1.0)
+ENV_STEPS_M = (0.15, 0.5, 0.75, 1.0)
 ENV_CFG = dict(channels=64, columns=512, res=128, window=(160, 101, 41),
                frames=36, shift=1.5)
 ENV_TINY = dict(channels=16, columns=128, res=128, window=(40, 33, 27),
@@ -1025,7 +1025,11 @@ def main():
     except Exception as exc:                          # pragma: no cover
         parity = {"error": repr(exc)[:300]}
     scaling = measure_scaling()
-    accuracy = _run_worker("--ate-worker", timeout=2400)
+    # the CPU box-scene ATE subprocess overlaps the TPU-bound tail
+    # (launched after the scaling workers so their CPU timings stay clean)
+    ate_proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--ate-worker"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
     # both adversarial halves run on the TPU: the app loops are tunnel-
     # latency-bound (~0.5-1 s/scan) but the CPU alternative measured
     # 3-4 s/scan for featsense at these shapes
@@ -1050,6 +1054,14 @@ def main():
         sharded_1dev = measure_sharded_1dev(ref_poses=ref_poses)
     except Exception as exc:                          # pragma: no cover
         sharded_1dev = {"error": repr(exc)[:300]}
+    try:
+        a_out, a_err = ate_proc.communicate(timeout=2400)
+        line = a_out.strip().splitlines()[-1] if a_out.strip() else ""
+        accuracy = (json.loads(line) if line.startswith("{")
+                    else {"error": (a_err or "no output")[-400:]})
+    except Exception as exc:                          # pragma: no cover
+        ate_proc.kill()
+        accuracy = {"error": repr(exc)[:300]}
 
     scans_per_s = 1000.0 / step_ms
     print(json.dumps({

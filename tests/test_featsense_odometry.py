@@ -214,7 +214,7 @@ def test_occupied_prefix_bucketing_is_exact():
         mask=jnp.arange(cap_s) < ns)
     pe = odo.OdomEstimation._occupied_prefix(emap, ne, lo=64)
     ps = odo.OdomEstimation._occupied_prefix(smap, ns, lo=64)
-    assert pe.points.shape[0] == 64 and ps.points.shape[0] == 512
+    assert pe.points.shape[0] == 64 and ps.points.shape[0] == 1024
     e = jnp.asarray(rng.uniform(-5, 5, (128, 3)), jnp.float32)
     s = jnp.asarray(rng.uniform(-5, 5, (256, 3)), jnp.float32)
     em = jnp.ones((128,), bool)

@@ -350,12 +350,16 @@ class OdomEstimation:
     @staticmethod
     def _occupied_prefix(m: FeatureMapState, n: int,
                          lo: int = 256) -> FeatureMapState:
-        """Slice a feature map to the smallest power-of-2 bucket >= its
-        occupied count (valid entries live in a prefix by construction)."""
+        """Slice a feature map to the smallest power-of-4 bucket >= its
+        occupied count (valid entries live in a prefix by construction).
+        Power of 4, not 2: every bucket is a fresh jit shape, and on a
+        remote/tunneled device each odom_update compile costs tens of
+        seconds — halving the level count costs at most 4x padding on
+        the knn map side, still far below full capacity."""
         cap = m.points.shape[0]
         c = lo
         while c < n:
-            c *= 2
+            c *= 4
         if c >= cap:
             return m
         return FeatureMapState(points=m.points[:c], mask=m.mask[:c])

@@ -242,9 +242,16 @@ class FeatsenseMapping:
         transformed = jnp.asarray(
             np.asarray(pts) @ initial[:3, :3].T + initial[:3, 3], jnp.float32)
 
-        # enrich target from the last N world-frame clouds (mapping.cpp:22-37)
-        tgt_pts = jnp.concatenate([p for p, _ in self.last_pcls])
-        tgt_mask = jnp.concatenate([m for _, m in self.last_pcls])
+        # enrich target from the last N world-frame clouds (mapping.cpp:22-37),
+        # PADDED to the full enrich capacity so vgicp_align sees ONE shape
+        # for the whole run (the 1..enrich ramp otherwise recompiles it
+        # once per level — tens of seconds each on a remote device)
+        pcls = list(self.last_pcls)
+        while len(pcls) < fl.enrich:
+            pcls.append((jnp.zeros_like(pcls[0][0]),
+                         jnp.zeros_like(pcls[0][1])))
+        tgt_pts = jnp.concatenate([p for p, _ in pcls])
+        tgt_mask = jnp.concatenate([m for _, m in pcls])
         T, fitness = vgicp_align(
             transformed, mask, tgt_pts, tgt_mask, resolution=1.0,
             max_iterations=20, fitness_score_threshold=fl.vgicp_fitness_score)

@@ -100,6 +100,7 @@ class WarpsenseApp:
 
         self.pose = np.eye(4, dtype=np.float32)  # mm translation
         self._prev_pose = None     # previous scan's pose (velocity prior)
+        self._reg_healthy = False  # last registration made a real step
         self.initialized = False
         if resume:
             poses = self.global_map.read_poses()
@@ -231,10 +232,14 @@ class WarpsenseApp:
         imu_only = pretransform.copy()
         if (self.params.registration.mode == "fast"
                 and self.params.registration.velocity_prior
-                and self._prev_pose is not None):
+                and self._prev_pose is not None and self._reg_healthy):
             # constant-velocity translation seed (config.velocity_prior):
             # without it, along-axis-degenerate geometry lets the LM's
-            # damped weak direction slide behind the true motion
+            # damped weak direction slide behind the true motion.  Only
+            # seeded after a HEALTHY registration — when the last scan was
+            # sane-gated or registration contributed nothing (c = 0, off
+            # the map), extrapolating the prior is a ballistic runaway; a
+            # tracker that coasts to a stop near the map can re-lock
             pretransform[:3, 3] += self.pose[:3, 3] - self._prev_pose[:3, 3]
         self._prev_pose = self.pose.copy()
 
@@ -253,6 +258,12 @@ class WarpsenseApp:
                 # implausible velocity is exactly the ballistic runaway
                 # this gate exists to stop) and let the next scans re-lock
                 transform = imu_only.astype(np.float32)
+                self._reg_healthy = False
+            else:
+                # a bit-exact pretransform return means registration made
+                # no accepted step (zero valid points — off the map)
+                self._reg_healthy = not np.array_equal(
+                    transform, pretransform.astype(np.float32))
 
         # Pose update: full SE3 composition pose <- transform @ pose.  The
         # registration refined `total` over the already-pose-transformed
