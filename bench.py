@@ -383,7 +383,7 @@ def measure_ate(cfg=ATE_CFG):
     # sweep, which cannot see them; measured ATE is equal: 0.014)
     app = WarpsenseApp(params, map_path=tmp / "ate_w.h5", capacity=8192,
                        window_size=cfg["window"], force_odd=False,
-                       fusion="projective-level")
+                       fusion="projective-level", sync_shift=True)
     est_w = []
     for i, scan in enumerate(scans):
         stamp = i * scan_dt
@@ -514,7 +514,7 @@ def measure_adversarial_warpsense(cfg=ADV_CFG):
             buckets[i].append(s)
     app = WarpsenseApp(params, map_path=tmp / "adv_w.h5", capacity=32768,
                        window_size=cfg["window"], force_odd=False,
-                       fusion="auto")
+                       fusion="auto", sync_shift=True)
     est = []
     for i, scan in enumerate(scans):
         for s in buckets[i]:
@@ -619,7 +619,7 @@ def measure_fast_envelope(cfg=ENV_CFG, steps=ENV_STEPS_M):
         rel = np.einsum("ij,njk->nik", np.linalg.inv(truth[0]), truth)
         app = WarpsenseApp(params, map_path=tmp / f"env_{step}.h5",
                            capacity=16384, window_size=cfg["window"],
-                           force_odd=False, fusion="auto")
+                           force_odd=False, fusion="auto", sync_shift=True)
         est = []
         for i, scan in enumerate(scans):
             p = app.cloud_callback(scan, i * 0.1).astype(np.float64).copy()

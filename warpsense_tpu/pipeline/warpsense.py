@@ -57,7 +57,8 @@ class WarpsenseApp:
                  profile: bool = False, fusion: str = "auto",
                  resume: bool = False, exact_fields: bool = False,
                  monitor=None, force_odd: bool = True,
-                 window_size: tuple[int, int, int] | None = None):
+                 window_size: tuple[int, int, int] | None = None,
+                 sync_shift: bool = False):
         """``fusion``: "auto" (Pallas fusion kernel on TPU, XLA projective
         sweep elsewhere), "pallas" (kernels/tsdf_pallas.py — the TPU
         speed-of-light single-pass kernel), "projective" (dense gather
@@ -76,8 +77,15 @@ class WarpsenseApp:
         reference forces odd extents (hdf5_local_map.cpp:6-20); multi-chip
         deployments need the x extent divisible by the mesh instead (see
         pipeline/warpsense_sharded.py and map/local_map.py on the even-
-        extent floor convention)."""
+        extent floor convention).
+
+        ``sync_shift=True`` swaps the window synchronously at the
+        triggering scan instead of on the worker thread — bitwise-
+        reproducible runs (the async worker's completion time decides
+        which scans queue their fusions, a genuine thread-timing
+        nondeterminism); used by the accuracy benches."""
         self.params = params
+        self._sync_shift = bool(sync_shift)
         self.capacity = int(capacity)
         self.profile = profile
         self.fusion = fusion
@@ -422,8 +430,14 @@ class WarpsenseApp:
         if self.monitor is not None:
             self.monitor.publish_shift(new_pos)   # skeleton publish role
         if self.params.registration.mode == "fast":
-            import threading
             self.local_map.attach_device(self.state)
+            if self._sync_shift:
+                self.local_map.shift(new_pos)
+                self.state = self._place(self.local_map.detach_device())
+                self.shifted = True
+                self._fields = None
+                return
+            import threading
 
             def work():
                 try:
