@@ -130,3 +130,53 @@ def test_map_persisted_nonempty(slam_run):
         total = sum(int(np.count_nonzero(f["map"][c][...] >> 16))
                     for c in chunks)
         assert total > 10000  # plenty of weighted voxels persisted
+
+
+def test_sane_step_gate_and_velocity_prior_health(tmp_path):
+    """Control-law regression (round 5): an implausible registration step
+    is replaced by the IMU-only prior, and the velocity seed is disabled
+    until a registration makes a real accepted step again — the corridor
+    scene's ballistic-runaway guard (config.sane_step_m /
+    velocity_prior)."""
+    import jax.numpy as jnp
+    from warpsense_tpu.core.config import Params
+    from warpsense_tpu.io.synthetic import BoxWorld, render_scan, \
+        walk_trajectory
+    from warpsense_tpu.pipeline.warpsense import WarpsenseApp
+
+    params = Params.from_dict({
+        "map": {"max_distance": 0.6, "resolution": 128, "max_weight": 10,
+                "size": {"x": 6, "y": 5, "z": 4}, "shift": 8.0,
+                "update_distance": 0.05},
+        "registration": {"max_iterations": 20, "epsilon": 0.0,
+                         "it_weight_gradient": 0.1, "mode": "fast",
+                         "sane_step_m": 0.5},
+        "lidar": {"channels": 16, "hresolution": 128},
+    })
+    app = WarpsenseApp(params, map_path=tmp_path / "gate.h5",
+                       capacity=2048, sync_shift=True)
+    world = BoxWorld.default()
+    rng = np.random.default_rng(0)
+    scans = [render_scan(world, p, channels=16, columns=128,
+                         noise_std=0.002, rng=rng)
+             for p in walk_trajectory(4, step_m=0.05)]
+    app.cloud_callback(scans[0], 0.0)
+    app.cloud_callback(scans[1], 0.1)
+    assert app._reg_healthy          # normal tracking: prior enabled
+
+    # force an implausible solve: registration "teleports" 5 m
+    crazy = np.eye(4, dtype=np.float32)
+    crazy[:3, 3] = [5000.0, 0.0, 0.0]
+    orig = app._register
+    app._register = lambda pts, mask, pre: crazy
+    pose_before = app.pose.copy()
+    app.cloud_callback(scans[2], 0.2)
+    app._register = orig
+    # gate fired: pose moved by at most the IMU-only prior (~0), and the
+    # velocity seed is disabled for the next scan
+    assert np.linalg.norm(app.pose[:3, 3] - pose_before[:3, 3]) < 500.0
+    assert not app._reg_healthy
+
+    # a healthy registration re-enables the prior
+    app.cloud_callback(scans[3], 0.3)
+    assert app._reg_healthy
