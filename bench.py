@@ -490,10 +490,12 @@ def _segment_metrics(err, seg):
             "loop_return_err_m": round(float(err[-1]), 4)}
 
 
-def measure_adversarial_warpsense(cfg=ADV_CFG):
+def measure_adversarial_warpsense(cfg=ADV_CFG, inputs=None):
     """Warpsense over the two-room corridor loop on the CURRENT backend
     (the production Pallas fusion path on TPU), IMU-fed like the
-    reference (app.cpp:54-63)."""
+    reference (app.cpp:54-63).  ``inputs``: a prebuilt
+    ``_adversarial_inputs`` tuple (the analytic scene render costs ~1 min
+    — share it between the two pipeline halves)."""
     import pathlib
     import tempfile
 
@@ -503,7 +505,8 @@ def measure_adversarial_warpsense(cfg=ADV_CFG):
     from warpsense_tpu.pipeline.warpsense import WarpsenseApp
     from warpsense_tpu.utils.imu import ImuSample
 
-    params, truth, seg, scans, rel, imu = _adversarial_inputs(cfg)
+    params, truth, seg, scans, rel, imu = (inputs
+                                           or _adversarial_inputs(cfg))
     tmp = pathlib.Path(tempfile.mkdtemp())
     # bucket IMU samples by scan interval once (the naive per-frame list
     # scan is O(frames x samples) of pure Python)
@@ -539,7 +542,7 @@ def measure_adversarial_warpsense(cfg=ADV_CFG):
     return out
 
 
-def measure_adversarial_featsense(cfg=ADV_CFG):
+def measure_adversarial_featsense(cfg=ADV_CFG, inputs=None):
     """Featsense (LiDAR-only, like the reference) over the same loop."""
     import pathlib
     import tempfile
@@ -549,7 +552,8 @@ def measure_adversarial_featsense(cfg=ADV_CFG):
     from warpsense_tpu.io.trajectory import ate_errors
     from warpsense_tpu.pipeline.featsense import FeatsenseApp
 
-    params, truth, seg, scans, rel, _ = _adversarial_inputs(cfg)
+    params, truth, seg, scans, rel, _ = (inputs
+                                         or _adversarial_inputs(cfg))
     tmp = pathlib.Path(tempfile.mkdtemp())
     fapp = FeatsenseApp(params, map_path=tmp / "adv_f.h5",
                         edge_capacity=2048, surf_capacity=4096,
@@ -570,8 +574,9 @@ def measure_adversarial_accuracy(cfg=ADV_CFG):
     """Both pipelines sequentially on the current backend (used by the CI
     smoke test; bench main instead overlaps the featsense half in a CPU
     subprocess with the TPU-bound warpsense half)."""
-    out = measure_adversarial_warpsense(cfg)
-    out.update(measure_adversarial_featsense(cfg))
+    inputs = _adversarial_inputs(cfg)
+    out = measure_adversarial_warpsense(cfg, inputs=inputs)
+    out.update(measure_adversarial_featsense(cfg, inputs=inputs))
     return out
 
 
@@ -1041,18 +1046,23 @@ def main():
     scaling = measure_scaling()
     # the CPU box-scene ATE subprocess overlaps the TPU-bound tail
     # (launched after the scaling workers so their CPU timings stay clean)
+    import tempfile as _tf
+    ate_err = _tf.NamedTemporaryFile("w+", suffix=".ate.err", delete=False)
+    # stderr goes to a FILE: an undrained PIPE fills at ~64 KB of backend
+    # chatter and blocks the child, silently serializing the overlap
     ate_proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--ate-worker"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE, stderr=ate_err, text=True)
     # both adversarial halves run on the TPU: the app loops are tunnel-
     # latency-bound (~0.5-1 s/scan) but the CPU alternative measured
     # 3-4 s/scan for featsense at these shapes
     try:
-        adversarial = measure_adversarial_warpsense()
+        adv_inputs = _adversarial_inputs(ADV_CFG)
+        adversarial = measure_adversarial_warpsense(inputs=adv_inputs)
     except Exception as exc:                          # pragma: no cover
-        adversarial = {"error": repr(exc)[:300]}
+        adv_inputs, adversarial = None, {"error": repr(exc)[:300]}
     try:
-        adversarial.update(measure_adversarial_featsense())
+        adversarial.update(measure_adversarial_featsense(inputs=adv_inputs))
     except Exception as exc:                          # pragma: no cover
         adversarial["featsense_error"] = repr(exc)[:300]
     try:
@@ -1069,13 +1079,18 @@ def main():
     except Exception as exc:                          # pragma: no cover
         sharded_1dev = {"error": repr(exc)[:300]}
     try:
-        a_out, a_err = ate_proc.communicate(timeout=2400)
+        a_out, _ = ate_proc.communicate(timeout=2400)
         line = a_out.strip().splitlines()[-1] if a_out.strip() else ""
-        accuracy = (json.loads(line) if line.startswith("{")
-                    else {"error": (a_err or "no output")[-400:]})
+        if line.startswith("{"):
+            accuracy = json.loads(line)
+        else:
+            ate_err.seek(0)
+            accuracy = {"error": (ate_err.read() or "no output")[-400:]}
     except Exception as exc:                          # pragma: no cover
         ate_proc.kill()
         accuracy = {"error": repr(exc)[:300]}
+    finally:
+        ate_err.close()
 
     scans_per_s = 1000.0 / step_ms
     print(json.dumps({

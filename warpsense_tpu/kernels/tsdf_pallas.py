@@ -306,6 +306,9 @@ def level_sweep_merge(value, weight, cx, cy, cz, t3, rotation, *, tau,
 
     Returns (value, weight) int16 planes of the merged map block."""
     X, Y, Z = value.shape[0], cy.shape[0], cz.shape[0]
+    assert columns <= 30 * _LANES, (
+        "the per-block bank bitmask is one int32; dispatch >3840-column "
+        "scans to the XLA sweep")
     R = rotation.astype(jnp.float32)
     cxs = jnp.stack([cx, cx * R[0, 0], cx * R[0, 1], cx * R[0, 2]], axis=-1)
     cys = jnp.stack([cy, cy * R[1, 0], cy * R[1, 1], cy * R[1, 2]], axis=-1)

@@ -507,7 +507,7 @@ def tsdf_update_projective_sharded(
         points, points_mask, scanner_mm, rotation, channels=channels,
         columns=columns, vfov_deg=vfov_deg)
     use_pallas = (level and channels <= 128 and Z <= 256
-                  and kernel != "xla"
+                  and columns <= 2048 and kernel != "xla"
                   and (kernel == "pallas-level"
                        or jax.default_backend() == "tpu"))
 

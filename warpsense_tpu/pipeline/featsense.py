@@ -87,6 +87,12 @@ class FeatsenseMapping:
             "map_size_z": m.size_voxels[2],
         })
         if window_size is not None:
+            if mesh is not None:
+                n = mesh.shape[mesh.axis_names[0]]
+                if window_size[0] % n:
+                    raise ValueError(
+                        f"window x extent {window_size[0]} must divide "
+                        f"the {n}-device mesh")
             self.local_map = LocalMap(window_size, self.global_map,
                                       force_odd=False)
         elif mesh is not None:

@@ -61,15 +61,17 @@ def grid_rotation_for(pose_mm: np.ndarray, vfov_deg: float,
     return jnp.asarray(np.asarray(pose_mm)[:3, :3], jnp.float32), False
 
 
-def resolve_fusion(fusion: str, *, size, channels: int) -> str:
+def resolve_fusion(fusion: str, *, size, channels: int,
+                   columns: int = 1024) -> str:
     """"auto" -> "pallas" on TPU when the level kernel's constraints hold
-    (z extent fits one lane block, ring axis fits one vreg row), else
-    "projective"; explicit names pass through."""
+    (z extent fits one lane block, ring axis fits one vreg row, the
+    azimuth axis fits the 30-bank int32 bitmask), else "projective";
+    explicit names pass through."""
     if fusion != "auto":
         return fusion
     import jax
     ok = (jax.default_backend() == "tpu" and size[2] <= 256
-          and channels <= 128)
+          and channels <= 128 and columns <= 2048)
     return "pallas" if ok else "projective"
 
 
@@ -88,7 +90,9 @@ def fuse_cloud(state: LocalMapState, pts_mm, mask, pose_mm: np.ndarray, *,
     m = params.map
     scanner_pos = jnp.asarray(
         np.floor(np.asarray(pose_mm)[:3, 3] / m.resolution).astype(np.int32))
-    fusion = resolve_fusion(fusion, size=size, channels=params.lidar.channels)
+    fusion = resolve_fusion(fusion, size=size,
+                            channels=params.lidar.channels,
+                            columns=params.lidar.hresolution)
     if fusion in ("projective", "projective-level", "pallas"):
         from ..kernels.tsdf_pallas import tsdf_update_projective_pallas
         from ..ops.tsdf_projective import tsdf_update_projective

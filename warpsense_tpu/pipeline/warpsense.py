@@ -257,9 +257,9 @@ class WarpsenseApp:
         if prof:
             prof.stop("registration")
         sane = self.params.registration.sane_step_m
-        if self.params.registration.mode == "fast" and sane > 0:
+        if self.params.registration.mode == "fast":
             delta = (transform @ self.pose)[:3, 3] - self.pose[:3, 3]
-            if float(np.linalg.norm(delta)) > sane * 1000.0:
+            if sane > 0 and float(np.linalg.norm(delta)) > sane * 1000.0:
                 # implausible per-scan motion: a degenerate solve escaped
                 # the map (config.sane_step_m) — keep the IMU-only prior
                 # (NOT the velocity-seeded one: extrapolating an already
@@ -269,7 +269,9 @@ class WarpsenseApp:
                 self._reg_healthy = False
             else:
                 # a bit-exact pretransform return means registration made
-                # no accepted step (zero valid points — off the map)
+                # no accepted step (zero valid points — off the map);
+                # tracked even with the gate disabled so the velocity
+                # prior keeps working when sane_step_m <= 0
                 self._reg_healthy = not np.array_equal(
                     transform, pretransform.astype(np.float32))
 

@@ -109,8 +109,12 @@ class ShardedWarpsenseApp(WarpsenseApp):
                 f".p{jax.process_index()}.h5")
         else:
             self._slab_rows = None
+        # forward sync_shift: the base __init__ also assigns
+        # self._sync_shift, and would otherwise overwrite the value set
+        # above with its own default
         super().__init__(params, map_path=map_path, force_odd=False,
-                         window_size=window_size, **kwargs)
+                         window_size=window_size, sync_shift=sync_shift,
+                         **kwargs)
 
     # ----------------------------------------------------------- device seams
     def _place(self, state):
