@@ -460,13 +460,18 @@ def _adversarial_inputs(cfg):
                 "max_weight": 32, "shift": cfg["shift"],
                 "update_distance": 0.25},
         "registration": {"max_iterations": 60, "epsilon": 0.0,
-                         "it_weight_gradient": 0.1, "mode": "fast"},
+                         "it_weight_gradient": 0.1, "mode": "fast",
+                         "sane_step_m": 0.6},
         "floam": {"min_distance": 0.5, "max_distance": 40.0,
                   "edge_threshold": 0.5, "surf_threshold": 0.05,
                   "edge_resolution": 0.15, "optimization_steps": 3,
                   "enrich": 4, "vgicp_fitness_score": 6.0},
         "lidar": {"channels": ch, "hresolution": cols},
     })
+    # sane_step_m 0.6 = 3x this scene's per-scan motion (0.2 m at 10 Hz):
+    # the gate is a platform-speed parameter, and the doorway transient's
+    # spurious steps are ~0.5 m/frame — the default 2.0 (fast vehicles)
+    # lets them through
     truth, seg = waypoint_trajectory(TWO_ROOM_WAYPOINTS,
                                      step_m=cfg["step_m"])
     if cfg["max_frames"]:
