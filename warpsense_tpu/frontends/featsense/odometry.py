@@ -231,12 +231,15 @@ def gn_step(q, t, r, J, delta: float = 0.1, damping: float = 1e-6):
 
 # ------------------------------------------------------------- voxel centroid
 
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
 def voxel_downsample(points: jax.Array, mask: jax.Array, leaf: float,
                      capacity: int):
     """PCL-VoxelGrid-style centroid downsample on fixed-shape arrays.
 
     Returns (points (capacity, 3), mask (capacity,)).
-    Replaces downSizeFilterEdge/Surf (odom_estimation.cpp:118-127)."""
+    Replaces downSizeFilterEdge/Surf (odom_estimation.cpp:118-127).
+    Jitted (leaf/capacity static — config constants): the ~20 eager ops
+    otherwise cost one remote dispatch EACH on a tunneled device."""
     N = points.shape[0]
     key = jnp.floor(points / leaf).astype(jnp.int32)
     big = jnp.int32(2 ** 24)
@@ -260,12 +263,14 @@ def voxel_downsample(points: jax.Array, mask: jax.Array, leaf: float,
     return centroid[ordv], vmask[ordv]
 
 
+@functools.partial(jax.jit, static_argnames=("crop", "leaf"))
 def merge_map(map_state: FeatureMapState, new_pts: jax.Array,
               new_mask: jax.Array, center: jax.Array, *, crop: float,
               leaf: float) -> FeatureMapState:
     """Append world-frame points, crop +-crop meters around ``center``,
     voxel-centroid downsample back into the fixed capacity
-    (addPointsToMap, odom_estimation.cpp:255-296)."""
+    (addPointsToMap, odom_estimation.cpp:255-296).  Jitted: one dispatch
+    per call instead of ~20 (see voxel_downsample)."""
     cap = map_state.points.shape[0]
     pts = jnp.concatenate([map_state.points, new_pts])
     msk = jnp.concatenate([map_state.mask, new_mask])
